@@ -1,0 +1,149 @@
+"""Command-line driver — the reference's ``main.py`` re-imagined.
+
+``python -m python_ray_tracer_tpu.cli render`` reproduces the reference driver's
+end-to-end flow (main.py:8-55): build the demo scene, render with the reference's
+settings (1000x1000, amb=0, lamb=0.6, refl=0.3, depth=2, AA on), print an honestly
+synced wall-clock time, and save a PNG. Extra subcommands expose the TPU-only
+capabilities (inverse rendering, benchmarking) with every knob from
+:class:`RenderConfig` as a flag instead of a hardcoded local.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from . import (Camera, default_scene, random_scene, render_image, to_framebuffer,
+               save_png, time_fn, rays_per_image, Materials, MetricsLogger)
+from .utils.config import RenderConfig
+
+
+def _add_render_args(p: argparse.ArgumentParser) -> None:
+    d = RenderConfig()
+    p.add_argument("--width", type=int, default=d.width)
+    p.add_argument("--height", type=int, default=d.height)
+    p.add_argument("--ambient", type=float, default=d.ambient)
+    p.add_argument("--lambert", type=float, default=d.lambert)
+    p.add_argument("--reflection", type=float, default=d.reflection)
+    p.add_argument("--depth", type=int, default=d.depth)
+    p.add_argument("--no-aliasing", action="store_true")
+    p.add_argument("--fov", type=float, default=d.fov)
+    p.add_argument("--clean", action="store_true",
+                   help="disable reference-quirk compat mode")
+    p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp")
+    p.add_argument("--spheres", type=int, default=0,
+                   help="random N-sphere scene instead of the demo scene")
+    p.add_argument("--out", type=str, default="output/render.png")
+
+
+def _build(args):
+    cfg = RenderConfig(width=args.width, height=args.height, ambient=args.ambient,
+                       lambert=args.lambert, reflection=args.reflection,
+                       depth=args.depth, aliasing=not args.no_aliasing, fov=args.fov,
+                       compat=not args.clean, backend=args.backend)
+    mats = Materials.build(cfg.ambient, cfg.lambert, cfg.reflection,
+                           cfg.specular, cfg.shininess)
+    if args.spheres > 0:
+        import jax
+        scene = random_scene(jax.random.key(0), args.spheres, materials=mats)
+    else:
+        scene = default_scene(mats)
+    cam = Camera.build((cfg.width, cfg.height), cfg.camera_position,
+                       cfg.camera_euler, cfg.fov)
+    return cfg, scene, cam
+
+
+def _render_fn(cfg):
+    if cfg.backend == "pallas":
+        from .ops.pallas.render_pallas import render_image_pallas
+
+        def fn(cam, scene):
+            return render_image_pallas(cam, scene, depth=cfg.depth,
+                                       aliasing=cfg.aliasing, compat=cfg.compat)
+        return fn
+
+    def fn(cam, scene):
+        return render_image(cam, scene, depth=cfg.depth, aliasing=cfg.aliasing,
+                            compat=cfg.compat, row_chunk=cfg.row_chunk)
+    return fn
+
+
+def cmd_render(args) -> int:
+    cfg, scene, cam = _build(args)
+    fn = _render_fn(cfg)
+    secs = time_fn(fn, cam, scene, warmup=1, iters=1)
+    img = fn(cam, scene)
+    n_rays = rays_per_image(cfg.width, cfg.height, depth=cfg.depth,
+                            aliasing=cfg.aliasing, n_lights=scene.lights.count)
+    print(f"time: {secs * 1000:,.1f} ms  "
+          f"({n_rays / secs / 1e6:,.1f} Mrays/s, {cfg.width}x{cfg.height}, "
+          f"backend={cfg.backend})")
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_png(np.asarray(to_framebuffer(img)), args.out)
+    print(f"saved {args.out}")
+    return 0
+
+
+def cmd_fit(args) -> int:
+    """Inverse-render demo: perturb sphere positions, recover them by pixel-grad
+    descent (BASELINE configs[3]).
+
+    Uses a well-separated two-sphere scene: with hard visibility, autodiff yields
+    the almost-everywhere gradient (no silhouette delta term), which reliably
+    recovers positions on well-conditioned scenes but can mislead on heavily
+    overlapping ones like the 6-sphere demo scene.
+    """
+    import dataclasses
+    import jax.numpy as jnp
+    from . import Scene, Spheres, Planes, Lights, GREY, RED, BLUE
+    from . import train
+
+    cfg, _, cam = _build(args)
+    mats = Materials.build(cfg.ambient, cfg.lambert, cfg.reflection)
+    scene = Scene(
+        Spheres.build([([2.5, 0.5, 1.0], 0.8, RED), ([1.5, -0.9, 0.5], 0.5, BLUE)]),
+        Planes.build([([5, 0, 0], [0, 0, 1], GREY)]),
+        Lights.build([[2.5, -2.0, 3.0], [2.5, 2.0, 3.0]]), mats)
+    target = render_image(cam, scene, depth=cfg.depth, aliasing=False,
+                          compat=cfg.compat)
+    init = dataclasses.replace(
+        scene, spheres=dataclasses.replace(
+            scene.spheres,
+            center=scene.spheres.center + jnp.asarray([0.2, -0.15, 0.1])))
+    logger = MetricsLogger("fit")
+    fitted, losses = train.fit_scene(init, cam, target, steps=args.steps,
+                                     lr=args.lr, depth=cfg.depth,
+                                     compat=cfg.compat, logger=logger,
+                                     trainable=("spheres.center",))
+    err0 = float(jnp.abs(init.spheres.center - scene.spheres.center).max())
+    err1 = float(jnp.abs(fitted.spheres.center - scene.spheres.center).max())
+    print(f"loss: {losses[0]:.3e} -> {losses[-1]:.3e}  "
+          f"center err: {err0:.3f} -> {err1:.3f}")
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        img = render_image(cam, fitted, depth=cfg.depth, aliasing=False,
+                           compat=cfg.compat)
+        save_png(np.asarray(to_framebuffer(img)), args.out)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="python_ray_tracer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    pr = sub.add_parser("render", help="render a scene to PNG")
+    _add_render_args(pr)
+    pf = sub.add_parser("fit", help="inverse-render demo (fit perturbed scene back)")
+    _add_render_args(pf)
+    pf.add_argument("--steps", type=int, default=100)
+    pf.add_argument("--lr", type=float, default=5e-3)
+    args = ap.parse_args(argv)
+    if args.cmd == "render":
+        return cmd_render(args)
+    if args.cmd == "fit":
+        return cmd_fit(args)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,1 @@
+from .render_pallas import render_image_pallas, render_image_fast

@@ -1,0 +1,411 @@
+"""Fused Pallas (Mosaic) render kernel: ray-gen -> intersect -> shade -> framebuffer.
+
+This is the TPU-native equivalent of the reference's single ``@cuda.jit`` global
+kernel plus its device-function tree (reference kernels.py:6-73, trace.py,
+intersections.py, common.py — compiled to PTX by numba there, to Mosaic here). One
+``pallas_call`` covers the entire forward pipeline; nothing ever round-trips to HBM
+between ray generation and the final framebuffer block:
+
+  * grid ``(W/TW, H/TH, S)``: pixel tiles x AA samples. The output block's index map
+    ignores the sample axis, so the framebuffer tile stays resident in VMEM while all
+    S samples accumulate into it (the CUDA version's per-thread accumulator
+    registers, kernels.py:58-65, become a revisited VMEM block).
+  * ray generation is analytic from ``program_id`` + iota — there is no pixel-grid
+    input at all (the reference gathers neighbor pixel locations from a device
+    array, kernels.py:32-41; here AA offsets are half-index shifts read from SMEM).
+  * the scene SoA lives in SMEM (it is tiny: reference demo scene = 60 floats) and
+    object sweeps broadcast per-object scalars against ``(TW, TH)`` ray tiles on the
+    VPU — unrolled for small scenes, ``fori_loop`` for large ones.
+  * materials/camera are traced SMEM scalars: changing them does NOT recompile the
+    kernel (the reference pays a numba re-JIT per refl_depth value, main.py:41-47).
+
+The kernel reproduces compat semantics exactly (999.0 far clip, strict-< closest
+hit with spheres-before-planes tie-break, unlimited-range shadow rays, 2e-4 acne
+biases, the AA G/B accumulation swap + store swap — see ops/render.py docstring).
+
+Differentiability: :func:`render_image_fast` wraps this forward in a
+``jax.custom_vjp`` whose backward is XLA's autodiff of the jnp reference path
+(ops/render.py) — pallas-speed forward, correct gradients.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1e30
+FAR = 999.0
+BIAS = 2e-4
+_UNROLL_LIMIT = 16
+
+# AA half-offsets in (x, y) index space; s=0 is the primary (center) sample
+# (reference kernels.py:32-50).
+AA_OFFSETS = ((0.0, 0.0), (-0.5, 0.0), (0.5, 0.0), (0.0, 0.5), (0.0, -0.5),
+              (-0.5, 0.5), (0.5, 0.5), (-0.5, -0.5), (0.5, -0.5))
+
+# params SMEM vector layout
+_P_ORIGIN = 0      # 3: camera origin
+_P_ROT = 3         # 9: rotation, row-major
+_P_FOCAL = 12
+_P_Y0, _P_DY, _P_Z0, _P_DZ = 13, 14, 15, 16
+_P_AMB, _P_LAMB, _P_REFL = 17, 18, 19
+_P_OFFS = 20       # 2*S: AA offsets
+_N_PARAMS = _P_OFFS + 2 * len(AA_OFFSETS)
+
+
+def _rnorm(x, y, z):
+    return jax.lax.rsqrt(x * x + y * y + z * z)
+
+
+def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
+    """Fused closest-hit over the SoA scene.
+
+    Returns ``(t, ar, ag, ab, qx, qy, qz, is_plane)`` — ``q`` carries the hit
+    sphere's center (normal computed after, from the hit point) or the hit plane's
+    normal, selected per ray. Tie-break: strict ``<`` with spheres scanned first ==
+    reference trace.py:22-39.
+    """
+    zeros = jnp.zeros(shape, jnp.float32)
+    t = jnp.full(shape, BIG, jnp.float32)
+    ar, ag, ab = zeros, zeros, zeros
+    qx, qy, qz = zeros, zeros, zeros
+    is_pl = zeros  # f32 mask: Mosaic dislikes i1 carry vectors
+    a = dx * dx + dy * dy + dz * dz
+    inv2a = 1.0 / (2.0 * a)
+
+    def sphere_t(cx, cy, cz, r):
+        lx, ly, lz = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (lx * dx + ly * dy + lz * dz)
+        c = lx * lx + ly * ly + lz * lz - r * r
+        disc = b * b - 4.0 * a * c
+        has = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+        num_near = -b - sq
+        num_far = -b + sq
+        t_j = jnp.where(num_near > 0.0, num_near, num_far) * inv2a
+        valid = has & ((num_near > 0.0) | (num_far > 0.0))
+        if compat:
+            valid &= t_j < FAR
+        return t_j, valid
+
+    def plane_t(px0, py0, pz0, nx, ny, nz):
+        den = dx * nx + dy * ny + dz * nz
+        den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+        num = (px0 - ox) * nx + (py0 - oy) * ny + (pz0 - oz) * nz
+        t_j = num / den_safe
+        eps = 1e-3 if compat else 1e-8
+        valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
+        if compat:
+            valid &= t_j < FAR
+        return t_j, valid
+
+    def upd(state, t_j, valid, col, q, plane_flag):
+        t, ar, ag, ab, qx, qy, qz, is_pl = state
+        closer = valid & (t_j < t)
+        t = jnp.where(closer, t_j, t)
+        ar = jnp.where(closer, col[0], ar)
+        ag = jnp.where(closer, col[1], ag)
+        ab = jnp.where(closer, col[2], ab)
+        qx = jnp.where(closer, q[0], qx)
+        qy = jnp.where(closer, q[1], qy)
+        qz = jnp.where(closer, q[2], qz)
+        is_pl = jnp.where(closer, jnp.float32(plane_flag), is_pl)
+        return t, ar, ag, ab, qx, qy, qz, is_pl
+
+    state = (t, ar, ag, ab, qx, qy, qz, is_pl)
+    if ns <= _UNROLL_LIMIT:
+        for j in range(ns):
+            t_j, valid = sphere_t(sph[0, j], sph[1, j], sph[2, j], sph[3, j])
+            state = upd(state, t_j, valid, (sph[4, j], sph[5, j], sph[6, j]),
+                        (sph[0, j], sph[1, j], sph[2, j]), False)
+    elif ns:
+        def body(j, state):
+            t_j, valid = sphere_t(sph[0, j], sph[1, j], sph[2, j], sph[3, j])
+            return upd(state, t_j, valid, (sph[4, j], sph[5, j], sph[6, j]),
+                       (sph[0, j], sph[1, j], sph[2, j]), False)
+        state = jax.lax.fori_loop(0, ns, body, state)
+
+    if npl <= _UNROLL_LIMIT:
+        for j in range(npl):
+            t_j, valid = plane_t(pln[0, j], pln[1, j], pln[2, j],
+                                 pln[3, j], pln[4, j], pln[5, j])
+            state = upd(state, t_j, valid, (pln[6, j], pln[7, j], pln[8, j]),
+                        (pln[3, j], pln[4, j], pln[5, j]), True)
+    elif npl:
+        def bodyp(j, state):
+            t_j, valid = plane_t(pln[0, j], pln[1, j], pln[2, j],
+                                 pln[3, j], pln[4, j], pln[5, j])
+            return upd(state, t_j, valid, (pln[6, j], pln[7, j], pln[8, j]),
+                       (pln[3, j], pln[4, j], pln[5, j]), True)
+        state = jax.lax.fori_loop(0, npl, bodyp, state)
+    return state
+
+
+def _any_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
+    """Occlusion-only sweep (shadow rays) — single boolean carry."""
+    occ = jnp.zeros(shape, jnp.float32)
+    a = dx * dx + dy * dy + dz * dz
+    inv2a = 1.0 / (2.0 * a)
+
+    def sphere_occ(occ, cx, cy, cz, r):
+        lx, ly, lz = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (lx * dx + ly * dy + lz * dz)
+        c = lx * lx + ly * ly + lz * lz - r * r
+        disc = b * b - 4.0 * a * c
+        has = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+        num_near = -b - sq
+        num_far = -b + sq
+        t_j = jnp.where(num_near > 0.0, num_near, num_far) * inv2a
+        valid = has & ((num_near > 0.0) | (num_far > 0.0))
+        if compat:
+            valid &= t_j < FAR
+        return jnp.maximum(occ, valid.astype(jnp.float32))
+
+    def plane_occ(occ, px0, py0, pz0, nx, ny, nz):
+        den = dx * nx + dy * ny + dz * nz
+        den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+        num = (px0 - ox) * nx + (py0 - oy) * ny + (pz0 - oz) * nz
+        t_j = num / den_safe
+        eps = 1e-3 if compat else 1e-8
+        valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
+        if compat:
+            valid &= t_j < FAR
+        return jnp.maximum(occ, valid.astype(jnp.float32))
+
+    if ns <= _UNROLL_LIMIT:
+        for j in range(ns):
+            occ = sphere_occ(occ, sph[0, j], sph[1, j], sph[2, j], sph[3, j])
+    elif ns:
+        occ = jax.lax.fori_loop(
+            0, ns, lambda j, o: sphere_occ(o, sph[0, j], sph[1, j], sph[2, j],
+                                           sph[3, j]), occ)
+    if npl <= _UNROLL_LIMIT:
+        for j in range(npl):
+            occ = plane_occ(occ, pln[0, j], pln[1, j], pln[2, j],
+                            pln[3, j], pln[4, j], pln[5, j])
+    elif npl:
+        occ = jax.lax.fori_loop(
+            0, npl, lambda j, o: plane_occ(o, pln[0, j], pln[1, j], pln[2, j],
+                                           pln[3, j], pln[4, j], pln[5, j]), occ)
+    return occ
+
+
+def _trace(params, sph, ns, pln, npl, lts, nl,
+           ox, oy, oz, dx, dy, dz, *, compat, shape):
+    """One shading evaluation == reference ``trace`` (trace.py:45-112), tile-wide.
+
+    Returns ``(r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive)``.
+    """
+    amb = params[_P_AMB]
+    lamb = params[_P_LAMB]
+    t, ar, ag, ab, qx, qy, qz, is_pl = _closest_hit(
+        sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, compat=compat, shape=shape)
+    alive = t < BIG * 0.5
+    ts = jnp.where(alive, t, 0.0)
+    Px, Py, Pz = ox + ts * dx, oy + ts * dy, oz + ts * dz
+    # Normal: plane -> q holds the normal; sphere -> q holds the center.
+    sx, sy, sz = Px - qx, Py - qy, Pz - qz
+    sn = _rnorm(sx, sy, sz)
+    plane_hit = is_pl > 0.5
+    nx = jnp.where(plane_hit, qx, sx * sn)
+    ny = jnp.where(plane_hit, qy, sy * sn)
+    nz = jnp.where(plane_hit, qz, sz * sn)
+
+    r, g, b = amb * ar, amb * ag, amb * ab
+    Px, Py, Pz = Px + BIAS * nx, Py + BIAS * ny, Pz + BIAS * nz
+
+    for l in range(nl):
+        lx, ly, lz = lts[0, l] - Px, lts[1, l] - Py, lts[2, l] - Pz
+        ln = _rnorm(lx, ly, lz)
+        lx, ly, lz = lx * ln, ly * ln, lz * ln
+        occ = _any_hit(sph, ns, pln, npl, Px, Py, Pz, lx, ly, lz,
+                       compat=compat, shape=shape)
+        lam = lamb * (lx * nx + ly * ny + lz * nz)
+        lam = jnp.where((occ < 0.5) & (lam > 0.0), lam, 0.0)
+        r, g, b = r + lam * ar, g + lam * ag, b + lam * ab
+
+    ddn = dx * nx + dy * ny + dz * nz
+    rx, ry, rz = dx - 2.0 * ddn * nx, dy - 2.0 * ddn * ny, dz - 2.0 * ddn * nz
+    rn = _rnorm(rx, ry, rz)
+    rx, ry, rz = rx * rn, ry * rn, rz * rn
+    Px, Py, Pz = Px + BIAS * rx, Py + BIAS * ry, Pz + BIAS * rz
+
+    zero = jnp.zeros(shape, jnp.float32)
+    r = jnp.where(alive, r, zero)
+    g = jnp.where(alive, g, zero)
+    b = jnp.where(alive, b, zero)
+    return r, g, b, Px, Py, Pz, rx, ry, rz, alive
+
+
+def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing):
+    shape = (TW, TH)
+
+    def kernel(params, sph, pln, lts, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        s = pl.program_id(2)
+
+        fx = (i * TW).astype(jnp.float32)
+        fy = (j * TH).astype(jnp.float32)
+        # iota must be integer-typed on TPU (Mosaic rejects float iota).
+        gx = fx + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+        gy = fy + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        px = gx + params[_P_OFFS + 2 * s]
+        py = gy + params[_P_OFFS + 2 * s + 1]
+
+        # Analytic ray generation (reference kernels.py:16-23, camera.py:23-26).
+        pcx = params[_P_FOCAL]
+        pcy = params[_P_Y0] + px * params[_P_DY]
+        pcz = params[_P_Z0] + py * params[_P_DZ]
+        R = params
+        dx = R[_P_ROT + 0] * pcx + R[_P_ROT + 1] * pcy + R[_P_ROT + 2] * pcz
+        dy = R[_P_ROT + 3] * pcx + R[_P_ROT + 4] * pcy + R[_P_ROT + 5] * pcz
+        dz = R[_P_ROT + 6] * pcx + R[_P_ROT + 7] * pcy + R[_P_ROT + 8] * pcz
+        dn = _rnorm(dx, dy, dz)
+        dx, dy, dz = dx * dn, dy * dn, dz * dn
+        ox = jnp.full(shape, params[_P_ORIGIN + 0], jnp.float32)
+        oy = jnp.full(shape, params[_P_ORIGIN + 1], jnp.float32)
+        oz = jnp.full(shape, params[_P_ORIGIN + 2], jnp.float32)
+
+        # sample(): primary trace + unrolled bounce chain (trace.py:115-133).
+        refl = params[_P_REFL]
+        r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive = _trace(
+            params, sph, ns, pln, npl, lts, nl, ox, oy, oz, dx, dy, dz,
+            compat=compat, shape=shape)
+        w = jnp.ones(shape, jnp.float32)
+        for bounce in range(depth):
+            w = w * refl * alive.astype(jnp.float32)
+            r2, g2, b2, Px, Py, Pz, Rx, Ry, Rz, alive2 = _trace(
+                params, sph, ns, pln, npl, lts, nl, Px, Py, Pz, Rx, Ry, Rz,
+                compat=compat, shape=shape)
+            r, g, b = r + w * r2, g + w * g2, b + w * b2
+            alive = alive & alive2
+
+        if aliasing:
+            interior = ((gx >= 1.0) & (gx <= W - 2) & (gy >= 1.0) & (gy <= H - 2))
+        else:
+            interior = None
+
+        if S == 1:
+            if compat:
+                out_ref[0], out_ref[1], out_ref[2] = r, b, g  # store swap
+            else:
+                out_ref[0], out_ref[1], out_ref[2] = r, g, b
+            return
+
+        @pl.when(s == 0)
+        def _init():
+            # Primary sample: compat stores (R, B, G) — the store swap
+            # (common.py:61-63) applied to the primary's channels.
+            if compat:
+                out_ref[0], out_ref[1], out_ref[2] = r, b, g
+            else:
+                out_ref[0], out_ref[1], out_ref[2] = r, g, b
+
+        @pl.when(s > 0)
+        def _acc():
+            # Neighbor samples land unswapped under compat: the accumulation swap
+            # (kernels.py:59-60) composed with the store swap cancels for them.
+            m = interior.astype(jnp.float32)
+            out_ref[0] += m * r
+            out_ref[1] += m * g
+            out_ref[2] += m * b
+
+        @pl.when(s == S - 1)
+        def _finalize():
+            m = interior
+            inv9 = jnp.float32(1.0 / 9.0)
+            out_ref[0] = jnp.where(m, out_ref[0] * inv9, out_ref[0])
+            out_ref[1] = jnp.where(m, out_ref[1] * inv9, out_ref[1])
+            out_ref[2] = jnp.where(m, out_ref[2] * inv9, out_ref[2])
+
+    return kernel
+
+
+def _pack_params(camera, scene, compat):
+    focal, y0, dy, z0, dz = camera.grid_params(compat)
+    m = scene.materials
+    offs = jnp.asarray(AA_OFFSETS, jnp.float32).reshape(-1)
+    return jnp.concatenate([
+        camera.position.astype(jnp.float32),
+        camera.rotation.astype(jnp.float32).reshape(-1),
+        jnp.stack([focal, y0, dy, z0, dz]),
+        jnp.stack([m.ambient.astype(jnp.float32), m.lambert.astype(jnp.float32),
+                   m.reflection.astype(jnp.float32)]),
+        offs,
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "aliasing", "compat",
+                                             "tile_w", "tile_h", "interpret"))
+def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
+                        compat: bool = True, tile_w: int = 32, tile_h: int = 128,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fused-kernel render -> float ``(w, h, 3)`` image, matching
+    :func:`..render.render_image` output bit-for-bit up to f32 reassociation."""
+    W, H = camera.resolution
+    ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
+    S = len(AA_OFFSETS) if aliasing else 1
+    TW, TH = min(tile_w, W), tile_h
+
+    params = _pack_params(camera, scene, compat)
+    sph = jnp.concatenate([
+        scene.spheres.center.T.astype(jnp.float32),
+        scene.spheres.radius[None].astype(jnp.float32),
+        scene.spheres.albedo.T.astype(jnp.float32)], axis=0) if ns else \
+        jnp.zeros((7, 1), jnp.float32)
+    pln = jnp.concatenate([
+        scene.planes.origin.T.astype(jnp.float32),
+        scene.planes.normal.T.astype(jnp.float32),
+        scene.planes.albedo.T.astype(jnp.float32)], axis=0) if npl else \
+        jnp.zeros((9, 1), jnp.float32)
+    lts = (scene.lights.position.T.astype(jnp.float32) if nl else
+           jnp.zeros((3, 1), jnp.float32))
+
+    kernel = _make_kernel(W=W, H=H, TW=TW, TH=TH, S=S, depth=depth, ns=ns,
+                          npl=npl, nl=nl, compat=compat, aliasing=aliasing)
+    grid = (pl.cdiv(W, TW), pl.cdiv(H, TH), S)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem(), smem(), smem(), smem()],
+        out_specs=pl.BlockSpec((3, TW, TH), lambda i, j, s: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((3, W, H), jnp.float32),
+        interpret=interpret,
+    )(params, sph, pln, lts)
+    return jnp.moveaxis(out, 0, -1)
+
+
+# --- differentiable fast path -----------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def render_image_fast(camera, scene, depth: int = 2, aliasing: bool = True,
+                      compat: bool = True):
+    """Pallas forward + jnp-autodiff backward (SURVEY §7 hard part (b) fallback)."""
+    return render_image_pallas(camera, scene, depth=depth, aliasing=aliasing,
+                               compat=compat)
+
+
+def _fwd(camera, scene, depth, aliasing, compat):
+    out = render_image_pallas(camera, scene, depth=depth, aliasing=aliasing,
+                              compat=compat)
+    return out, (camera, scene)
+
+
+def _bwd(depth, aliasing, compat, res, g):
+    from ..render import render_image
+    camera, scene = res
+    _, vjp = jax.vjp(lambda c, s: render_image(c, s, depth=depth,
+                                               aliasing=aliasing, compat=compat),
+                     camera, scene)
+    return vjp(g)
+
+
+render_image_fast.defvjp(_fwd, _bwd)

@@ -1,0 +1,82 @@
+"""Multi-chip rendering and render-to-loss via ``shard_map`` over a device mesh.
+
+Design (SURVEY §7 step 6): the image's width axis is sharded across the ``"rays"``
+mesh axis; the scene/camera pytrees are replicated. Because ray generation is
+*analytic* (models/camera.py), each shard synthesizes its own rays — including the AA
+half-offset samples that straddle shard boundaries — so the forward pass needs **zero
+communication**: no halo exchange, no gather. The only collective in the whole
+pipeline is the ``psum`` of scene-parameter gradients (and the scalar loss) over ICI,
+which ``shard_map``'s transpose inserts automatically for replicated inputs.
+
+This file is the TPU-native replacement for what a multi-GPU port would do with
+NCCL all-reduces; there is no reference analogue (single GPU, SURVEY §5).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.render import _render_block
+from .mesh import RAY_AXIS
+
+
+def _shard_rows(w: int, mesh: Mesh, axis: str):
+    n = mesh.shape[axis]
+    assert w % n == 0, f"width {w} must be divisible by mesh axis size {n}"
+    return w // n
+
+
+def render_image_sharded(camera, scene, mesh: Mesh, *, depth: int = 2,
+                         aliasing: bool = True, compat: bool = True,
+                         axis: str = RAY_AXIS) -> jnp.ndarray:
+    """Distributed render -> ``(w, h, 3)`` float image sharded over ``axis``.
+
+    Each device renders a contiguous block of image columns (x rows in the
+    reference's (w, h) indexing). Communication-free; the result stays sharded so a
+    downstream loss can reduce it without a gather.
+    """
+    w, h = camera.resolution
+    rows_per = _shard_rows(w, mesh, axis)
+    ys = jnp.arange(h, dtype=jnp.float32)
+
+    def shard_fn(scene, camera):
+        i = jax.lax.axis_index(axis)
+        xs = jnp.arange(rows_per, dtype=jnp.float32) + i * rows_per
+        return _render_block(xs, ys, camera, scene,
+                             depth=depth, aliasing=aliasing, compat=compat)
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P()),
+                   out_specs=P(axis, None, None), check_vma=False)
+    return fn(scene, camera)
+
+
+def make_loss_fn(camera, target, mesh: Mesh, *, depth: int = 2, aliasing: bool = True,
+                 compat: bool = True, axis: str = RAY_AXIS):
+    """Build ``loss(scene) -> scalar`` where the pixel loss is computed shard-local
+    and ``psum``-reduced over ICI; its gradient w.r.t. the replicated scene is
+    all-reduced by the shard_map transpose (overlapping backward compute with the
+    collective is XLA's job once both live in one jitted computation)."""
+    w, h = camera.resolution
+    rows_per = _shard_rows(w, mesh, axis)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    denom = jnp.float32(w * h * 3)
+
+    def shard_fn(scene, target_shard):
+        i = jax.lax.axis_index(axis)
+        xs = jnp.arange(rows_per, dtype=jnp.float32) + i * rows_per
+        img = _render_block(xs, ys, camera, scene,
+                            depth=depth, aliasing=aliasing, compat=compat)
+        err = jnp.sum((img - target_shard) ** 2) / denom
+        return jax.lax.psum(err, axis)
+
+    sharded = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P(axis, None, None)),
+                        out_specs=P(), check_vma=False)
+
+    def loss(scene):
+        return sharded(scene, target)
+
+    return loss

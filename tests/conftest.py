@@ -1,0 +1,34 @@
+"""Test harness configuration.
+
+Runs everything on CPU with 8 virtual devices (SURVEY §4's multi-chip-without-a-
+cluster strategy) so sharding tests exercise real ``Mesh``/``shard_map`` paths, and
+Pallas kernels run through the TPU interpreter.
+"""
+import os
+
+# Hard-set (not setdefault): this image's sitecustomize pins JAX_PLATFORMS=axon for
+# the tunneled TPU and already imports jax, so both the env var AND jax.config must
+# be overridden; tests must run on the virtual CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+import python_ray_tracer_tpu as rt
+
+
+@pytest.fixture(scope="session")
+def demo_scene():
+    return rt.default_scene()
+
+
+@pytest.fixture(scope="session")
+def small_camera():
+    return rt.default_camera((32, 32))

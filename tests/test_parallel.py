@@ -1,0 +1,95 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (SURVEY §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import python_ray_tracer_tpu as rt
+from python_ray_tracer_tpu.parallel.mesh import make_mesh, image_sharding
+from python_ray_tracer_tpu.parallel.render_sharded import (render_image_sharded,
+                                                           make_loss_fn)
+from python_ray_tracer_tpu import train
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() == 8, "conftest should fake 8 CPU devices"
+    return make_mesh()
+
+
+def test_sharded_render_matches_single(mesh, demo_scene):
+    """AA samples straddle shard boundaries; analytic raygen makes that exact.
+    (Kept small: 8-way shard_map compiles are expensive on the 4-core CI host.)"""
+    cam = rt.default_camera((16, 16))
+    single = np.asarray(rt.render_image(cam, demo_scene, depth=1, aliasing=True))
+    sharded = render_image_sharded(cam, demo_scene, mesh, depth=1, aliasing=True)
+    assert len(sharded.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(sharded), single, atol=1e-4)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_mesh_sizes(n_dev, demo_scene):
+    """Mesh-size parametrized correctness (scaling harness smoke)."""
+    mesh = make_mesh(jax.devices()[:n_dev])
+    cam = rt.default_camera((16, 16))
+    single = np.asarray(rt.render_image(cam, demo_scene, depth=1, aliasing=False))
+    out = render_image_sharded(cam, demo_scene, mesh, depth=1, aliasing=False)
+    np.testing.assert_allclose(np.asarray(out), single, atol=1e-4)
+
+
+def test_sharded_loss_and_grads_match_single(mesh, demo_scene):
+    """psum'd sharded loss + all-reduced scene grads == single-device values."""
+    cam = rt.default_camera((16, 16))
+    target = rt.render_image(cam, demo_scene, depth=1, aliasing=False)
+    target_sharded = jax.device_put(target, image_sharding(mesh))
+
+    import dataclasses
+    perturbed = dataclasses.replace(
+        demo_scene,
+        spheres=dataclasses.replace(demo_scene.spheres,
+                                    center=demo_scene.spheres.center + 0.05))
+
+    loss_single = train.pixel_loss(cam, target, depth=1)
+    loss_sharded = make_loss_fn(cam, target_sharded, mesh, depth=1, aliasing=False)
+
+    l1, g1 = jax.value_and_grad(loss_single)(perturbed)
+    l2, g2 = jax.value_and_grad(loss_sharded)(perturbed)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        # different reduce orders (shard psum vs single-device sum) -> f32 noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-5)
+
+
+def test_jit_auto_sharding_forward(mesh, demo_scene):
+    """The pjit path: jit with sharding-annotated output partitions automatically."""
+    cam = rt.default_camera((32, 32))
+    fn = jax.jit(lambda s: rt.render_image(cam, s, depth=1, aliasing=False),
+                 out_shardings=image_sharding(mesh))
+    out = fn(demo_scene)
+    single = np.asarray(rt.render_image(cam, demo_scene, depth=1, aliasing=False))
+    np.testing.assert_allclose(np.asarray(out), single, atol=1e-4)
+    assert len(out.sharding.device_set) == 8
+
+
+def test_inverse_render_sharded_decreases_loss(mesh):
+    """Sharded render-to-loss training step converges (well-separated scene:
+    the crowded demo scene's a.e. gradients mislead — see cli.cmd_fit docstring)."""
+    import dataclasses
+    cam = rt.default_camera((16, 16))
+    true_scene = rt.Scene(
+        rt.Spheres.build([([2.5, 0.5, 1.0], 0.8, rt.RED),
+                          ([1.5, -0.9, 0.5], 0.5, rt.BLUE)]),
+        rt.Planes.build([([5, 0, 0], [0, 0, 1], rt.GREY)]),
+        rt.Lights.build([[2.5, -2.0, 3.0], [2.5, 2.0, 3.0]]),
+        rt.Materials.build())
+    target = rt.render_image(cam, true_scene, depth=1, aliasing=False)
+    target_sharded = jax.device_put(target, image_sharding(mesh))
+    init = dataclasses.replace(
+        true_scene,
+        spheres=dataclasses.replace(true_scene.spheres,
+                                    center=true_scene.spheres.center +
+                                    jnp.asarray([0.15, -0.1, 0.05])))
+    fitted, losses = train.fit_scene(init, cam, target_sharded, steps=40, lr=5e-3,
+                                     depth=1, mesh=mesh,
+                                     trainable=("spheres.center",))
+    assert losses[-1] < losses[0] * 0.8, losses[::8]

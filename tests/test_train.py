@@ -1,0 +1,69 @@
+"""Inverse rendering (BASELINE configs[3]) and checkpoint/resume."""
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+import python_ray_tracer_tpu as rt
+from python_ray_tracer_tpu import train
+
+
+def _two_sphere_scene(offset=0.0):
+    return rt.Scene(
+        rt.Spheres.build([([2.5 + offset, 0.5, 1.0], 0.8, rt.RED),
+                          ([1.5, -0.9 + offset, 0.5], 0.5, rt.BLUE)]),
+        rt.Planes.build([([5, 0, 0], [0, 0, 1], rt.GREY)]),
+        rt.Lights.build([[2.5, -2.0, 3.0], [2.5, 2.0, 3.0]]),
+        rt.Materials.build())
+
+
+def test_fit_sphere_position_recovers():
+    cam = rt.default_camera((32, 32))
+    target_scene = _two_sphere_scene()
+    target = rt.render_image(cam, target_scene, depth=1, aliasing=False)
+    init = _two_sphere_scene(offset=0.2)
+    fitted, losses = train.fit_scene(init, cam, target, steps=120, lr=5e-3, depth=1,
+                                     trainable=("spheres.center",))
+    assert losses[-1] < losses[0] * 0.5, losses[::20]
+    err0 = np.abs(np.asarray(init.spheres.center - target_scene.spheres.center)).max()
+    err1 = np.abs(np.asarray(fitted.spheres.center - target_scene.spheres.center)).max()
+    assert err1 < err0 * 0.5, (err0, err1)
+
+
+def test_trainable_mask_freezes_fields():
+    cam = rt.default_camera((16, 16))
+    scene = _two_sphere_scene()
+    target = rt.render_image(cam, scene, depth=1, aliasing=False) * 0.5
+    fitted, _ = train.fit_scene(scene, cam, target, steps=5, lr=5e-2,
+                                trainable=("spheres",), depth=1)
+    np.testing.assert_array_equal(np.asarray(fitted.lights.position),
+                                  np.asarray(scene.lights.position))
+    np.testing.assert_array_equal(np.asarray(fitted.materials.lambert),
+                                  np.asarray(scene.materials.lambert))
+    assert not np.array_equal(np.asarray(fitted.spheres.center),
+                              np.asarray(scene.spheres.center))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    scene = _two_sphere_scene()
+    path = os.path.join(tmp_path, "scene.npz")
+    rt.save_pytree(path, scene)
+    loaded = rt.load_pytree(path, rt.Scene.from_soa(*scene.to_soa()))
+    for a, b in zip(np.asarray(loaded.spheres.center),
+                    np.asarray(scene.spheres.center)):
+        np.testing.assert_allclose(a, b)
+
+
+def test_checkpoint_resume_training(tmp_path):
+    """Save mid-optimization, reload, and continue — losses keep decreasing."""
+    cam = rt.default_camera((16, 16))
+    target_scene = _two_sphere_scene()
+    target = rt.render_image(cam, target_scene, depth=1, aliasing=False)
+    init = _two_sphere_scene(offset=0.25)
+    mid, losses1 = train.fit_scene(init, cam, target, steps=10, lr=2e-2, depth=1)
+    path = os.path.join(tmp_path, "mid.npz")
+    rt.save_pytree(path, mid)
+    resumed = rt.load_pytree(path, init)
+    _, losses2 = train.fit_scene(resumed, cam, target, steps=10, lr=2e-2, depth=1)
+    assert losses2[-1] < losses1[0]
