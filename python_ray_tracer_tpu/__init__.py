@@ -13,6 +13,7 @@ from .models.scene import (Scene, Spheres, Planes, Lights, Materials, default_sc
                            random_scene, RED, GREEN, BLUE, YELLOW, GREY, MAGENTA)
 from .models.camera import Camera, default_camera, euler_rotation
 from .ops.render import render_image, render_rays, to_framebuffer
+from .ops.soft import render_image_soft, render_rays_soft
 from .ops.shade import sample, trace_once, reflect
 from .ops.intersect import intersect_spheres, intersect_planes, closest_hit, any_hit
 from .utils.config import RenderConfig
@@ -26,7 +27,8 @@ __version__ = "0.1.0"
 __all__ = [
     "Scene", "Spheres", "Planes", "Lights", "Materials", "default_scene",
     "random_scene", "Camera", "default_camera", "euler_rotation",
-    "render_image", "render_rays", "to_framebuffer", "sample", "trace_once",
+    "render_image", "render_rays", "to_framebuffer", "render_image_soft",
+    "render_rays_soft", "sample", "trace_once",
     "reflect", "intersect_spheres", "intersect_planes", "closest_hit", "any_hit",
     "RenderConfig", "save_png", "framebuffer_to_array", "time_fn", "rays_per_image",
     "save_pytree", "load_pytree", "MetricsLogger",

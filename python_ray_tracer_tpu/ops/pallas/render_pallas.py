@@ -77,11 +77,16 @@ def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
     is_pl = zeros  # f32 mask: Mosaic dislikes i1 carry vectors
     a = dx * dx + dy * dy + dz * dz
     inv2a = 1.0 / (2.0 * a)
+    # Sweep-invariant hoists: b_j = 2(o.d - c_j.d), c_j = o.o - 2 o.c_j + (|c_j|^2
+    # - r_j^2); o.d and o.o are computed once per sweep instead of per object.
+    od = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
 
     def sphere_t(cx, cy, cz, r):
-        lx, ly, lz = ox - cx, oy - cy, oz - cz
-        b = 2.0 * (lx * dx + ly * dy + lz * dz)
-        c = lx * lx + ly * ly + lz * lz - r * r
+        cd = cx * dx + cy * dy + cz * dz
+        oc = cx * ox + cy * oy + cz * oz
+        b = 2.0 * (od - cd)
+        c = oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
         disc = b * b - 4.0 * a * c
         has = disc >= 0.0
         sq = jnp.sqrt(jnp.where(has, disc, 0.0))
@@ -151,11 +156,14 @@ def _any_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
     occ = jnp.zeros(shape, jnp.float32)
     a = dx * dx + dy * dy + dz * dz
     inv2a = 1.0 / (2.0 * a)
+    od = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
 
     def sphere_occ(occ, cx, cy, cz, r):
-        lx, ly, lz = ox - cx, oy - cy, oz - cz
-        b = 2.0 * (lx * dx + ly * dy + lz * dz)
-        c = lx * lx + ly * ly + lz * lz - r * r
+        cd = cx * dx + cy * dy + cz * dz
+        oc = cx * ox + cy * oy + cz * oz
+        b = 2.0 * (od - cd)
+        c = oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
         disc = b * b - 4.0 * a * c
         has = disc >= 0.0
         sq = jnp.sqrt(jnp.where(has, disc, 0.0))
@@ -196,6 +204,57 @@ def _any_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
     return occ
 
 
+def _any_hit_multi(sph, ns, pln, npl, ox, oy, oz, dirs, *, compat, shape):
+    """Shadow occlusion for several unit directions from the SAME origins.
+
+    Hoists every origin-only term (o.o, per-object o.c and |c|^2-r^2, per-plane
+    numerators) out of the per-light loop — the per-(light, object) work drops to
+    the direction-dependent part only. Unrolled-scene path; callers fall back to
+    :func:`_any_hit` per light for rolled loops."""
+    oo = ox * ox + oy * oy + oz * oz
+    cterms = []
+    for j in range(ns):
+        cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
+        oc = cx * ox + cy * oy + cz * oz
+        cterms.append(oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r))
+    pnums = []
+    for j in range(npl):
+        nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
+        pnums.append((pln[0, j] - ox) * nx + (pln[1, j] - oy) * ny +
+                     (pln[2, j] - oz) * nz)
+    eps = 1e-3 if compat else 1e-8
+    occs = []
+    for (dx, dy, dz) in dirs:
+        occ = jnp.zeros(shape, jnp.float32)
+        a = dx * dx + dy * dy + dz * dz
+        inv2a = 1.0 / (2.0 * a)
+        od = ox * dx + oy * dy + oz * dz
+        for j in range(ns):
+            cd = sph[0, j] * dx + sph[1, j] * dy + sph[2, j] * dz
+            b = 2.0 * (od - cd)
+            disc = b * b - 4.0 * a * cterms[j]
+            has = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+            num_near = -b - sq
+            num_far = -b + sq
+            t_j = jnp.where(num_near > 0.0, num_near, num_far) * inv2a
+            valid = has & ((num_near > 0.0) | (num_far > 0.0))
+            if compat:
+                valid &= t_j < FAR
+            occ = jnp.maximum(occ, valid.astype(jnp.float32))
+        for j in range(npl):
+            nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
+            den = dx * nx + dy * ny + dz * nz
+            den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+            t_j = pnums[j] / den_safe
+            valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
+            if compat:
+                valid &= t_j < FAR
+            occ = jnp.maximum(occ, valid.astype(jnp.float32))
+        occs.append(occ)
+    return occs
+
+
 def _trace(params, sph, ns, pln, npl, lts, nl,
            ox, oy, oz, dx, dy, dz, *, compat, shape):
     """One shading evaluation == reference ``trace`` (trace.py:45-112), tile-wide.
@@ -220,15 +279,23 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
     r, g, b = amb * ar, amb * ag, amb * ab
     Px, Py, Pz = Px + BIAS * nx, Py + BIAS * ny, Pz + BIAS * nz
 
-    for l in range(nl):
-        lx, ly, lz = lts[0, l] - Px, lts[1, l] - Py, lts[2, l] - Pz
-        ln = _rnorm(lx, ly, lz)
-        lx, ly, lz = lx * ln, ly * ln, lz * ln
-        occ = _any_hit(sph, ns, pln, npl, Px, Py, Pz, lx, ly, lz,
-                       compat=compat, shape=shape)
-        lam = lamb * (lx * nx + ly * ny + lz * nz)
-        lam = jnp.where((occ < 0.5) & (lam > 0.0), lam, 0.0)
-        r, g, b = r + lam * ar, g + lam * ag, b + lam * ab
+    if nl:
+        dirs = []
+        for l in range(nl):
+            lx, ly, lz = lts[0, l] - Px, lts[1, l] - Py, lts[2, l] - Pz
+            ln = _rnorm(lx, ly, lz)
+            dirs.append((lx * ln, ly * ln, lz * ln))
+        if ns <= _UNROLL_LIMIT and npl <= _UNROLL_LIMIT:
+            occs = _any_hit_multi(sph, ns, pln, npl, Px, Py, Pz, dirs,
+                                  compat=compat, shape=shape)
+        else:
+            occs = [_any_hit(sph, ns, pln, npl, Px, Py, Pz, lx, ly, lz,
+                             compat=compat, shape=shape)
+                    for (lx, ly, lz) in dirs]
+        for (lx, ly, lz), occ in zip(dirs, occs):
+            lam = lamb * (lx * nx + ly * ny + lz * nz)
+            lam = jnp.where((occ < 0.5) & (lam > 0.0), lam, 0.0)
+            r, g, b = r + lam * ar, g + lam * ag, b + lam * ab
 
     ddn = dx * nx + dy * ny + dz * nz
     rx, ry, rz = dx - 2.0 * ddn * nx, dy - 2.0 * ddn * ny, dz - 2.0 * ddn * nz
@@ -243,10 +310,13 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
     return r, g, b, Px, Py, Pz, rx, ry, rz, alive
 
 
-def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing):
+def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
+                 predicate_bounces):
     shape = (TW, TH)
 
-    def kernel(params, sph, pln, lts, out_ref):
+    def kernel(params, sph, pln, lts, out_ref, *scratch):
+        if depth > 0 and predicate_bounces:
+            (racc, gacc, bacc, sPx, sPy, sPz, sRx, sRy, sRz, sAl, sW) = scratch
         i = pl.program_id(0)
         j = pl.program_id(1)
         s = pl.program_id(2)
@@ -269,23 +339,56 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing):
         dz = R[_P_ROT + 6] * pcx + R[_P_ROT + 7] * pcy + R[_P_ROT + 8] * pcz
         dn = _rnorm(dx, dy, dz)
         dx, dy, dz = dx * dn, dy * dn, dz * dn
-        ox = jnp.full(shape, params[_P_ORIGIN + 0], jnp.float32)
-        oy = jnp.full(shape, params[_P_ORIGIN + 1], jnp.float32)
-        oz = jnp.full(shape, params[_P_ORIGIN + 2], jnp.float32)
+        # Origin stays scalar: per-object o.c / o.o terms in the primary sweep
+        # then run on the scalar unit, not the VPU.
+        ox = params[_P_ORIGIN + 0]
+        oy = params[_P_ORIGIN + 1]
+        oz = params[_P_ORIGIN + 2]
 
         # sample(): primary trace + unrolled bounce chain (trace.py:115-133).
         refl = params[_P_REFL]
         r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive = _trace(
             params, sph, ns, pln, npl, lts, nl, ox, oy, oz, dx, dy, dz,
             compat=compat, shape=shape)
-        w = jnp.ones(shape, jnp.float32)
-        for bounce in range(depth):
-            w = w * refl * alive.astype(jnp.float32)
-            r2, g2, b2, Px, Py, Pz, Rx, Ry, Rz, alive2 = _trace(
-                params, sph, ns, pln, npl, lts, nl, Px, Py, Pz, Rx, Ry, Rz,
-                compat=compat, shape=shape)
-            r, g, b = r + w * r2, g + w * g2, b + w * b2
-            alive = alive & alive2
+        if depth > 0 and predicate_bounces:
+            # Whole-tile predication via pl.when + VMEM scratch accumulators:
+            # sky/fully-dead tiles skip every bounce's intersection+shadow sweeps
+            # (the CUDA analogue would be a warp-coherent early exit; here the
+            # tile is the coherence unit). lax.cond with vector results does not
+            # legalize in Mosaic, so state lives in scratch refs instead of SSA.
+            racc[...], gacc[...], bacc[...] = r, g, b
+            sPx[...], sPy[...], sPz[...] = Px, Py, Pz
+            sRx[...], sRy[...], sRz[...] = Rx, Ry, Rz
+            sAl[...] = alive.astype(jnp.float32)
+            sW[...] = jnp.full(shape, 1.0, jnp.float32)
+            for bounce in range(depth):
+                @pl.when(jnp.max(sAl[...]) > 0.5)
+                def _bounce(bounce=bounce):
+                    alive_old = sAl[...]
+                    w = sW[...] * refl * alive_old
+                    sW[...] = w
+                    r2, g2, b2, Px2, Py2, Pz2, Rx2, Ry2, Rz2, alive2 = _trace(
+                        params, sph, ns, pln, npl, lts, nl,
+                        sPx[...], sPy[...], sPz[...],
+                        sRx[...], sRy[...], sRz[...], compat=compat, shape=shape)
+                    racc[...] += w * r2
+                    gacc[...] += w * g2
+                    bacc[...] += w * b2
+                    sPx[...], sPy[...], sPz[...] = Px2, Py2, Pz2
+                    sRx[...], sRy[...], sRz[...] = Rx2, Ry2, Rz2
+                    sAl[...] = alive_old * alive2.astype(jnp.float32)
+            r, g, b = racc[...], gacc[...], bacc[...]
+        elif depth > 0:
+            # AA configs: measured faster without scratch traffic (most tiles keep
+            # live lanes across all 9 samples, so the predicate rarely fires).
+            w = jnp.ones(shape, jnp.float32)
+            for bounce in range(depth):
+                w = w * refl * alive.astype(jnp.float32)
+                r2, g2, b2, Px, Py, Pz, Rx, Ry, Rz, alive2 = _trace(
+                    params, sph, ns, pln, npl, lts, nl, Px, Py, Pz, Rx, Ry, Rz,
+                    compat=compat, shape=shape)
+                r, g, b = r + w * r2, g + w * g2, b + w * b2
+                alive = alive & alive2
 
         if aliasing:
             interior = ((gx >= 1.0) & (gx <= W - 2) & (gy >= 1.0) & (gy <= H - 2))
@@ -368,16 +471,20 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
     lts = (scene.lights.position.T.astype(jnp.float32) if nl else
            jnp.zeros((3, 1), jnp.float32))
 
+    predicate_bounces = not aliasing
     kernel = _make_kernel(W=W, H=H, TW=TW, TH=TH, S=S, depth=depth, ns=ns,
-                          npl=npl, nl=nl, compat=compat, aliasing=aliasing)
+                          npl=npl, nl=nl, compat=compat, aliasing=aliasing,
+                          predicate_bounces=predicate_bounces)
     grid = (pl.cdiv(W, TW), pl.cdiv(H, TH), S)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    scratch = ([pltpu.VMEM((TW, TH), jnp.float32)] * 11) if (depth > 0 and predicate_bounces) else []
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[smem(), smem(), smem(), smem()],
         out_specs=pl.BlockSpec((3, TW, TH), lambda i, j, s: (0, i, j)),
         out_shape=jax.ShapeDtypeStruct((3, W, H), jnp.float32),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(params, sph, pln, lts)
     return jnp.moveaxis(out, 0, -1)

@@ -1,0 +1,171 @@
+"""Soft-visibility differentiable renderer (silhouette-aware gradients).
+
+The hard renderer (ops/render.py) computes the *almost-everywhere* gradient: moving
+an object never changes which pixels it covers, because coverage is a discrete
+argmin — the silhouette term of the true derivative is a delta the autodiff cannot
+see. On scenes where the residual is dominated by silhouette mismatch (e.g. the
+crowded 6-sphere demo scene), those gradients point the optimizer the wrong way.
+
+This module renders with *soft* visibility in the spirit of SoftRasterizer
+(Liu et al. 2019, arXiv:1904.01786 — public method, reimplemented from the idea):
+
+  * every sphere gets a smooth screen-space coverage ``alpha_i = sigmoid(-(b_i -
+    r_i) / (tau * r_i))`` where ``b_i`` is the ray's closest-approach distance to
+    the center — differentiable in center and radius, ~hard as ``tau -> 0``;
+  * objects are alpha-composited front-to-back in depth order (order itself is
+    discrete but order-swap boundaries carry far less loss mass than silhouettes);
+  * shadows become transmission products ``prod_j (1 - alpha_j)`` along the shadow
+    ray — soft shadows with usable gradients w.r.t. occluder geometry;
+  * planes are opaque (their silhouette is the horizon, not useful to soften).
+
+Scope: primary visibility + Lambert + ambient + soft shadows. No mirror bounces —
+this is the *optimization* renderer; render the fitted scene with the hard path.
+Cost is O(K^2 L) per pixel (every object shaded, every shadow ray swept), fine for
+the few-hundred-object scenes inverse rendering targets.
+
+There is no reference analogue (the reference has no backward pass at all).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _norm(v, axis=-1, keepdims=True):
+    n2 = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.where(n2 > 0, n2, 1.0))
+
+
+def _sphere_soft_cover(ray_o, ray_d, center, radius, tau):
+    """Per-sphere soft coverage and blend depth for a batch of rays.
+
+    Returns ``(alpha (..., N), t (..., N))``. ``t`` is the hard near-hit distance
+    inside the silhouette and the closest-approach distance outside (continuous at
+    the boundary, where both equal the tangent distance).
+    """
+    L = center - ray_o[..., None, :]                       # (..., N, 3)
+    t_ca = jnp.sum(L * ray_d[..., None, :], axis=-1)       # closest approach
+    d2 = jnp.sum(L * L, axis=-1) - t_ca * t_ca             # b_i^2
+    # Double-where everywhere a sqrt argument can clamp to 0: sqrt'(0)=inf turns
+    # the masked branch's zero cotangent into NaN otherwise.
+    d2_pos = d2 > 1e-12
+    b = jnp.sqrt(jnp.where(d2_pos, d2, 1e-12))
+    # Smooth signed silhouette distance, scaled by radius so tau is unitless.
+    alpha = jax.nn.sigmoid(-(b - radius) / (tau * radius))
+    # Behind-the-camera spheres don't cover the pixel.
+    alpha = jnp.where(t_ca > 0.0, alpha, 0.0)
+    chord2 = radius * radius - d2
+    inside = chord2 > 1e-12
+    half_chord = jnp.sqrt(jnp.where(inside, chord2, 1.0))
+    t = jnp.where(inside, t_ca - half_chord, t_ca)
+    return alpha, jnp.maximum(t, 1e-4)
+
+
+def _plane_cover(ray_o, ray_d, origin, normal):
+    """Opaque plane coverage: alpha 1 where hit, 0 otherwise; t = hit distance."""
+    denom = jnp.sum(ray_d[..., None, :] * normal, axis=-1)
+    denom_safe = jnp.where(jnp.abs(denom) > 1e-8, denom, 1.0)
+    t = jnp.sum((origin - ray_o[..., None, :]) * normal, axis=-1) / denom_safe
+    alpha = ((jnp.abs(denom) > 1e-8) & (t > 0.0)).astype(ray_d.dtype)
+    return alpha, jnp.maximum(t, 1e-4)
+
+
+def _light_transmission(P, L_dir, scene, tau):
+    """Product of (1 - alpha) over occluding spheres along the shadow ray.
+
+    ``P (..., 3)``, ``L_dir (..., 3)`` unit. Planes are ignored as occluders for
+    gradient hygiene (an infinite plane either blocks everything or nothing and
+    its silhouette never moves); sphere occlusion is soft.
+    """
+    if scene.spheres.count == 0:
+        return jnp.ones(P.shape[:-1], P.dtype)
+    alpha, _ = _sphere_soft_cover(P, L_dir, scene.spheres.center,
+                                  scene.spheres.radius, tau)
+    return jnp.prod(1.0 - alpha, axis=-1)
+
+
+def _shade_all(P, N, albedo, ray_batch_shape, scene, tau):
+    """Ambient + soft-shadowed Lambert at per-object points ``P (..., K, 3)``."""
+    m = scene.materials
+    rgb = m.ambient * albedo
+    if scene.lights.count:
+        Lv = scene.lights.position - P[..., None, :]        # (..., K, Lg, 3)
+        Ld = Lv / _norm(Lv)
+        vis = _light_transmission(P[..., None, :], Ld, scene, tau)  # (..., K, Lg)
+        lam = m.lambert * jnp.sum(Ld * N[..., None, :], axis=-1)
+        lam = jnp.maximum(lam, 0.0) * vis
+        rgb = rgb + jnp.sum(lam, axis=-1)[..., None] * albedo
+    return rgb
+
+
+def render_rays_soft(ray_o, ray_d, scene, *, tau: float = 0.05):
+    """Soft-composited radiance for a batch of rays -> ``(..., 3)`` in [0,1]."""
+    parts_alpha, parts_t, parts_rgb = [], [], []
+
+    if scene.spheres.count:
+        a_s, t_s = _sphere_soft_cover(ray_o, ray_d, scene.spheres.center,
+                                      scene.spheres.radius, tau)
+        P_s = ray_o[..., None, :] + t_s[..., None] * ray_d[..., None, :]
+        N_s = P_s - scene.spheres.center
+        N_s = N_s / _norm(N_s)
+        rgb_s = _shade_all(P_s, N_s, scene.spheres.albedo, ray_o.shape[:-1],
+                           scene, tau)
+        parts_alpha.append(a_s)
+        parts_t.append(t_s)
+        parts_rgb.append(rgb_s)
+
+    if scene.planes.count:
+        a_p, t_p = _plane_cover(ray_o, ray_d, scene.planes.origin,
+                                scene.planes.normal)
+        P_p = ray_o[..., None, :] + t_p[..., None] * ray_d[..., None, :]
+        N_p = jnp.broadcast_to(scene.planes.normal, P_p.shape)
+        rgb_p = _shade_all(P_p, N_p, scene.planes.albedo, ray_o.shape[:-1],
+                           scene, tau)
+        parts_alpha.append(a_p)
+        parts_t.append(t_p)
+        parts_rgb.append(rgb_p)
+
+    if not parts_alpha:
+        return jnp.zeros(ray_d.shape, ray_d.dtype)
+
+    alpha = jnp.concatenate(parts_alpha, axis=-1)          # (..., K)
+    t = jnp.concatenate(parts_t, axis=-1)
+    rgb = jnp.concatenate(parts_rgb, axis=-2)              # (..., K, 3)
+
+    # Front-to-back compositing in depth order: w_i = alpha_i * prod_{closer}(1-a).
+    order = jnp.argsort(t, axis=-1)
+    a_sorted = jnp.take_along_axis(alpha, order, axis=-1)
+    rgb_sorted = jnp.take_along_axis(rgb, order[..., None], axis=-2)
+    trans = jnp.cumprod(1.0 - a_sorted, axis=-1)
+    trans_excl = jnp.concatenate([jnp.ones_like(trans[..., :1]),
+                                  trans[..., :-1]], axis=-1)
+    w = a_sorted * trans_excl
+    return jnp.sum(w[..., None] * rgb_sorted, axis=-2)
+
+
+@partial(jax.jit, static_argnames=("row_chunk",))
+def render_image_soft(camera, scene, *, tau: float = 0.05,
+                      row_chunk: int | None = None) -> jnp.ndarray:
+    """Full-image soft render -> float ``(w, h, 3)``; clean orientation/channels."""
+    w, h = camera.resolution
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    gx = xs[:, None] * jnp.ones((1, h), jnp.float32)
+    gy = jnp.ones((w, 1), jnp.float32) * ys[None, :]
+    pix = jnp.stack([gx, gy], axis=-1)
+    d = camera.ray_directions(pix, compat=False)
+    o = jnp.broadcast_to(camera.ray_origin(), d.shape)
+
+    def block(args):
+        ob, db = args
+        return render_rays_soft(ob, db, scene, tau=tau)
+
+    if row_chunk is None or row_chunk >= w:
+        return render_rays_soft(o, d, scene, tau=tau)
+    assert w % row_chunk == 0
+    o_b = o.reshape(w // row_chunk, row_chunk, h, 3)
+    d_b = d.reshape(w // row_chunk, row_chunk, h, 3)
+    out = jax.lax.map(jax.checkpoint(block), (o_b, d_b))
+    return out.reshape(w, h, 3)

@@ -33,6 +33,20 @@ def pixel_loss(camera, target, *, depth: int = 2, aliasing: bool = False,
     return loss
 
 
+def soft_pixel_loss(camera, target, *, tau: float = 0.05,
+                    row_chunk: Optional[int] = None) -> Callable:
+    """Silhouette-aware loss via the soft-visibility renderer (ops/soft.py).
+
+    The target should be produced by :func:`soft_pixel_target` (same renderer) so
+    the residual isn't dominated by the soft/hard appearance gap."""
+    from .ops.soft import render_image_soft
+
+    def loss(scene):
+        img = render_image_soft(camera, scene, tau=tau, row_chunk=row_chunk)
+        return jnp.mean((img - target) ** 2)
+    return loss
+
+
 def _mask_grads(grads: Scene, trainable: Optional[Sequence[str]]) -> Scene:
     """Zero out gradients for non-trainable scene fields.
 
@@ -99,4 +113,35 @@ def fit_scene(init_scene: Scene, camera, target, *, steps: int = 200,
         losses.append(float(loss))
         if logger is not None and (i % log_every == 0 or i == steps - 1):
             logger.log(i, loss=float(loss))
+    return scene, losses
+
+
+def fit_scene_soft(init_scene: Scene, camera, target_scene: Scene, *,
+                   steps: int = 200, lr: float = 1e-2,
+                   taus: Sequence[float] = (0.15, 0.05, 0.02),
+                   trainable: Optional[Sequence[str]] = ("spheres.center",),
+                   logger: Optional[MetricsLogger] = None):
+    """Coarse-to-fine soft-visibility fitting (anneal ``tau`` toward hard).
+
+    At each ``tau`` the *target* is re-rendered from ``target_scene`` with the same
+    softness, so only geometry/material mismatch drives the loss. Robust where the
+    hard a.e. gradient misleads (overlapping silhouettes — see ops/soft.py).
+    Returns ``(scene, losses)``.
+    """
+    from .ops.soft import render_image_soft
+
+    scene = init_scene
+    losses = []
+    per_stage = max(1, steps // len(taus))
+    for tau in taus:
+        target = render_image_soft(camera, target_scene, tau=tau)
+        loss_fn = soft_pixel_loss(camera, target, tau=tau)
+        optimizer = optax.adam(lr)
+        step = make_train_step(loss_fn, optimizer, trainable)
+        opt_state = optimizer.init(scene)
+        for i in range(per_stage):
+            scene, opt_state, loss = step(scene, opt_state)
+            losses.append(float(loss))
+        if logger is not None:
+            logger.log(len(losses), tau=float(tau), loss=losses[-1])
     return scene, losses

@@ -14,17 +14,29 @@ from typing import Callable
 import jax
 
 
+def _sync(out) -> None:
+    """Force execution to finish: block, then round-trip one scalar to host.
+
+    ``block_until_ready`` alone can return early on remote-tunneled backends
+    (observed on the axon TPU bridge); fetching a value cannot."""
+    jax.block_until_ready(out)
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        _ = jax.device_get(leaves[0].ravel()[:1] if hasattr(leaves[0], "ravel")
+                           else leaves[0])
+
+
 def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 5, **kwargs) -> float:
-    """Median wall-clock seconds per call of ``fn(*args)`` with device sync."""
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kwargs))
-    times = []
+    """Wall-clock seconds per call: queue ``iters`` calls back-to-back, sync once,
+    return the per-call aggregate (pipelined device throughput)."""
+    for _ in range(max(warmup, 1)):
+        _sync(fn(*args, **kwargs))
+    t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, **kwargs))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+        out = fn(*args, **kwargs)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def rays_per_image(width: int, height: int, *, depth: int, aliasing: bool,
