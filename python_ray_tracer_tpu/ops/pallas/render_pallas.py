@@ -54,7 +54,8 @@ _P_ROT = 3         # 9: rotation, row-major
 _P_FOCAL = 12
 _P_Y0, _P_DY, _P_Z0, _P_DZ = 13, 14, 15, 16
 _P_AMB, _P_LAMB, _P_REFL = 17, 18, 19
-_P_OFFS = 20       # 2*S: AA offsets
+_P_X0 = 20         # global x index of this shard's first column (ray-DP sharding)
+_P_OFFS = 21       # 2*S: AA offsets
 _N_PARAMS = _P_OFFS + 2 * len(AA_OFFSETS)
 
 
@@ -321,7 +322,7 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
         j = pl.program_id(1)
         s = pl.program_id(2)
 
-        fx = (i * TW).astype(jnp.float32)
+        fx = (i * TW).astype(jnp.float32) + params[_P_X0]
         fy = (j * TH).astype(jnp.float32)
         # iota must be integer-typed on TPU (Mosaic rejects float iota).
         gx = fx + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
@@ -431,7 +432,7 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
     return kernel
 
 
-def _pack_params(camera, scene, compat):
+def _pack_params(camera, scene, compat, x_offset=0.0):
     focal, y0, dy, z0, dz = camera.grid_params(compat)
     m = scene.materials
     offs = jnp.asarray(AA_OFFSETS, jnp.float32).reshape(-1)
@@ -441,23 +442,33 @@ def _pack_params(camera, scene, compat):
         jnp.stack([focal, y0, dy, z0, dz]),
         jnp.stack([m.ambient.astype(jnp.float32), m.lambert.astype(jnp.float32),
                    m.reflection.astype(jnp.float32)]),
+        jnp.asarray(x_offset, jnp.float32)[None],
         offs,
     ])
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "aliasing", "compat",
-                                             "tile_w", "tile_h", "interpret"))
+                                             "tile_w", "tile_h", "interpret",
+                                             "local_width"))
 def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
                         compat: bool = True, tile_w: int = 32, tile_h: int = 128,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False, x_offset=0.0,
+                        local_width: int | None = None) -> jnp.ndarray:
     """Fused-kernel render -> float ``(w, h, 3)`` image, matching
-    :func:`..render.render_image` output bit-for-bit up to f32 reassociation."""
+    :func:`..render.render_image` output bit-for-bit up to f32 reassociation.
+
+    ``x_offset``/``local_width`` render a vertical slice ``[x_offset, x_offset +
+    local_width)`` of the full image — ray generation is analytic in the *global*
+    pixel index, so a shard_map over slices reproduces the whole image with zero
+    halo communication (ray-DP; see parallel/render_sharded.py)."""
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
     S = len(AA_OFFSETS) if aliasing else 1
-    TW, TH = min(tile_w, W), tile_h
+    TW = min(tile_w, W if local_width is None else local_width)
+    TH = tile_h
 
-    params = _pack_params(camera, scene, compat)
+    W_out = W if local_width is None else local_width
+    params = _pack_params(camera, scene, compat, x_offset)
     sph = jnp.concatenate([
         scene.spheres.center.T.astype(jnp.float32),
         scene.spheres.radius[None].astype(jnp.float32),
@@ -475,7 +486,7 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
     kernel = _make_kernel(W=W, H=H, TW=TW, TH=TH, S=S, depth=depth, ns=ns,
                           npl=npl, nl=nl, compat=compat, aliasing=aliasing,
                           predicate_bounces=predicate_bounces)
-    grid = (pl.cdiv(W, TW), pl.cdiv(H, TH), S)
+    grid = (pl.cdiv(W_out, TW), pl.cdiv(H, TH), S)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     scratch = ([pltpu.VMEM((TW, TH), jnp.float32)] * 11) if (depth > 0 and predicate_bounces) else []
     out = pl.pallas_call(
@@ -483,7 +494,7 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
         grid=grid,
         in_specs=[smem(), smem(), smem(), smem()],
         out_specs=pl.BlockSpec((3, TW, TH), lambda i, j, s: (0, i, j)),
-        out_shape=jax.ShapeDtypeStruct((3, W, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, W_out, H), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
     )(params, sph, pln, lts)

@@ -32,22 +32,36 @@ def _shard_rows(w: int, mesh: Mesh, axis: str):
 
 def render_image_sharded(camera, scene, mesh: Mesh, *, depth: int = 2,
                          aliasing: bool = True, compat: bool = True,
-                         axis: str = RAY_AXIS) -> jnp.ndarray:
+                         axis: str = RAY_AXIS, backend: str = "jnp",
+                         pallas_interpret: bool = False) -> jnp.ndarray:
     """Distributed render -> ``(w, h, 3)`` float image sharded over ``axis``.
 
     Each device renders a contiguous block of image columns (x rows in the
     reference's (w, h) indexing). Communication-free; the result stays sharded so a
-    downstream loss can reduce it without a gather.
+    downstream loss can reduce it without a gather. ``backend="pallas"`` runs the
+    fused Mosaic kernel on each shard's global column slice (the production
+    multi-chip path); ``"jnp"`` the XLA-fused differentiable path.
     """
     w, h = camera.resolution
     rows_per = _shard_rows(w, mesh, axis)
     ys = jnp.arange(h, dtype=jnp.float32)
 
-    def shard_fn(scene, camera):
-        i = jax.lax.axis_index(axis)
-        xs = jnp.arange(rows_per, dtype=jnp.float32) + i * rows_per
-        return _render_block(xs, ys, camera, scene,
-                             depth=depth, aliasing=aliasing, compat=compat)
+    if backend == "pallas":
+        from ..ops.pallas.render_pallas import render_image_pallas
+
+        def shard_fn(scene, camera):
+            i = jax.lax.axis_index(axis)
+            x0 = (i * rows_per).astype(jnp.float32)
+            return render_image_pallas(camera, scene, depth=depth,
+                                       aliasing=aliasing, compat=compat,
+                                       x_offset=x0, local_width=rows_per,
+                                       interpret=pallas_interpret)
+    else:
+        def shard_fn(scene, camera):
+            i = jax.lax.axis_index(axis)
+            xs = jnp.arange(rows_per, dtype=jnp.float32) + i * rows_per
+            return _render_block(xs, ys, camera, scene,
+                                 depth=depth, aliasing=aliasing, compat=compat)
 
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P()),
                    out_specs=P(axis, None, None), check_vma=False)

@@ -84,3 +84,18 @@ def test_render_image_fast_grads_match_jnp(demo_scene):
     for a, b in zip(jax.tree_util.tree_leaves(g_fast),
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_sharded_slices(demo_scene):
+    """Sharded fused-kernel path: per-device global column slices == whole image."""
+    import jax
+    from python_ray_tracer_tpu.parallel.mesh import make_mesh
+    from python_ray_tracer_tpu.parallel.render_sharded import render_image_sharded
+
+    mesh = make_mesh(jax.devices()[:4])
+    cam = rt.default_camera((32, 32))
+    whole = np.asarray(rt.render_image(cam, demo_scene, depth=1, aliasing=True))
+    out = render_image_sharded(cam, demo_scene, mesh, depth=1, aliasing=True,
+                               backend="pallas", pallas_interpret=True)
+    diff = np.abs(np.asarray(out) - whole)
+    assert (diff > 1e-4).mean() < 0.005 and diff.max() < 0.05
