@@ -52,7 +52,7 @@ def main() -> int:
             ("reference config (depth2, 9xAA)", 2, True, False),
         ]:
             f = pallas_fn(depth, aa)
-            secs = time_fn(f, warmup=1, iters=20)
+            secs = time_fn(f, warmup=1, iters=20, best_of=3)
             total = rt.rays_per_image(w, h, depth=depth, aliasing=aa,
                                       n_lights=scene.lights.count)
             log(f"pallas {label}: {secs * 1e3:7.2f} ms  "
@@ -72,17 +72,23 @@ def main() -> int:
     if headline is None:
         headline = primary / jnp_secs / 1e6
 
-    # Forward+backward through the differentiable path.
+    # Forward+backward: fused Mosaic kernels (hand-derived adjoints), with the
+    # XLA-autodiff path as the correctness-oracle comparison point.
     try:
+        from python_ray_tracer_tpu import train
         target = rt.render_image(camera, scene, depth=2, aliasing=False,
                                  compat=True, row_chunk=240)
+        vg = jax.jit(train.pallas_value_and_grad(camera, target, depth=2))
+        bwd_secs = time_fn(vg, scene, warmup=1, iters=10, best_of=3)
+        log(f"fused fwd+bwd (depth2, no AA): {bwd_secs * 1e3:7.2f} ms  "
+            f"{primary / bwd_secs / 1e6:8.1f} Mrays/s primary")
         loss_grad = jax.jit(jax.grad(
             lambda s: jnp.mean((rt.render_image(camera, s, depth=2,
                                                 aliasing=False, compat=True,
                                                 row_chunk=240) - target) ** 2)))
-        bwd_secs = time_fn(loss_grad, scene, warmup=1, iters=3)
-        log(f"fwd+bwd (depth2, no AA, chunked): {bwd_secs * 1e3:7.2f} ms  "
-            f"{primary / bwd_secs / 1e6:8.1f} Mrays/s primary")
+        xla_secs = time_fn(loss_grad, scene, warmup=1, iters=3)
+        log(f"XLA-autodiff fwd+bwd:           {xla_secs * 1e3:7.2f} ms  "
+            f"{primary / xla_secs / 1e6:8.1f} Mrays/s primary")
     except Exception as e:
         log(f"fwd+bwd bench failed: {type(e).__name__}: {e}")
 

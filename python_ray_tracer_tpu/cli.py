@@ -122,7 +122,8 @@ def cmd_fit(args) -> int:
         fitted, losses = train.fit_scene(init, cam, target, steps=args.steps,
                                          lr=args.lr, depth=cfg.depth,
                                          compat=cfg.compat, logger=logger,
-                                         trainable=("spheres.center",))
+                                         trainable=("spheres.center",),
+                                         backend=cfg.backend)
     import numpy as _np
     errs = _np.linalg.norm(_np.asarray(fitted.spheres.center -
                                        scene.spheres.center), axis=1)

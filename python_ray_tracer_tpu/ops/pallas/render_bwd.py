@@ -1,0 +1,579 @@
+"""Fused Pallas backward kernel: scene-parameter gradients at kernel speed.
+
+Hand-derived reverse-mode adjoints of the full render chain (closest-hit ->
+normal -> ambient/Lambert/shadows -> mirror-bounce recursion), fused into one
+``pallas_call``. The reference has no backward pass at all; the XLA-autodiff
+backward of the jnp path (ops/render.py) is correct but ~35x slower than the
+forward kernel — this kernel is SURVEY §7 step 5's "custom VJP pairing a fused
+backward kernel".
+
+Design:
+  * Each grid step recomputes its tile's forward chain keeping all residuals in
+    SSA registers (depth <= ~4 unrolled — no checkpointing, no HBM residuals),
+    reads the incoming image cotangent block, then runs the reverse sweep.
+  * Per-parameter adjoints are lane-masked vector expressions reduced to scalars
+    and accumulated into a flat SMEM *output* vector that every grid step
+    revisits (index_map ignores the grid position): zeroed at the first step,
+    ``+=`` thereafter — a single-core sequential-grid reduction.
+  * Closest-hit distance adjoints come from the implicit function theorem:
+    ``f(t) = a t^2 + b t + c = 0  =>  dt = -(t^2 da + t db + dc) / (2 a t + b)``
+    — no differentiating through the root formula's cancellation-prone sqrt.
+    Grazing hits (|2at+b| ~ 0) are clamped to zero adjoint (the a.e. gradient).
+
+Scope (fall back to XLA autodiff otherwise — see ``scene_grads``):
+  * gradients w.r.t. the scene pytree (sphere center/radius/albedo, plane
+    origin/normal/albedo, light positions, ambient/lambert/reflection);
+    camera gradients intentionally not emitted;
+  * ``aliasing=False`` (training renders don't supersample), any static depth;
+  * unrolled scenes (<= 16 spheres/planes).
+
+Gradient layout (flat f32 vector): ``[spheres (7*Ns: cx,cy,cz,r,ar,ag,ab)...,
+planes (9*Np: ox,oy,oz,nx,ny,nz,ar,ag,ab)..., lights (3*Nl)..., amb, lamb,
+refl]``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
+                            _P_DZ, _P_AMB, _P_LAMB, _P_REFL, _P_X0,
+                            _pack_params, _UNROLL_LIMIT, FAR, BIAS, BIG, _rnorm)
+
+_DEN_EPS = 1e-6   # grazing-hit clamp for implicit-function t adjoints
+
+
+def _vsum(x):
+    return jnp.sum(x)
+
+
+def _norm_adj(u, rn, ubar):
+    """Adjoint of u = v * rn, rn = 1/|v|: given ubar, return vbar.
+
+    ``u`` is the normalized vector (tuple of 3), ``rn`` the stored reciprocal
+    norm. vbar = rn * (ubar - u * (u . ubar)).
+    """
+    ux, uy, uz = u
+    bx, by, bz = ubar
+    dot = ux * bx + uy * by + uz * bz
+    return (rn * (bx - ux * dot), rn * (by - uy * dot), rn * (bz - uz * dot))
+
+
+def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
+    """Forward trace storing every residual the reverse sweep needs."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    amb = params[_P_AMB]
+    lamb = params[_P_LAMB]
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    t = jnp.full(shape, BIG, jnp.float32)
+    hit_obj = jnp.full(shape, -1.0, jnp.float32)  # index into [spheres++planes]
+    a = dx * dx + dy * dy + dz * dz
+    od = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
+
+    # --- closest hit, tracking the winning object index -----------------------
+    for j in range(ns):
+        cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
+        cd = cx * dx + cy * dy + cz * dz
+        oc = cx * ox + cy * oy + cz * oz
+        b = 2.0 * (od - cd)
+        c = oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
+        disc = b * b - 4.0 * a * c
+        has = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+        num_near = -b - sq
+        num_far = -b + sq
+        t_j = jnp.where(num_near > 0.0, num_near, num_far) / (2.0 * a)
+        valid = has & ((num_near > 0.0) | (num_far > 0.0))
+        if compat:
+            valid &= t_j < FAR
+        closer = valid & (t_j < t)
+        t = jnp.where(closer, t_j, t)
+        hit_obj = jnp.where(closer, jnp.float32(j), hit_obj)
+    for j in range(npl):
+        nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
+        den = dx * nx + dy * ny + dz * nz
+        den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+        num = ((pln[0, j] - ox) * nx + (pln[1, j] - oy) * ny +
+               (pln[2, j] - oz) * nz)
+        t_j = num / den_safe
+        eps = 1e-3 if compat else 1e-8
+        valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
+        if compat:
+            valid &= t_j < FAR
+        closer = valid & (t_j < t)
+        t = jnp.where(closer, t_j, t)
+        hit_obj = jnp.where(closer, jnp.float32(ns + j), hit_obj)
+
+    alive = hit_obj >= 0.0
+    ts = jnp.where(alive, t, 0.0)
+    Px, Py, Pz = ox + ts * dx, oy + ts * dy, oz + ts * dz
+
+    # --- hit attributes via masked accumulation -------------------------------
+    ar = zeros
+    ag = zeros
+    ab = zeros
+    qx, qy, qz = zeros, zeros, zeros  # sphere center or plane normal
+    is_pl = zeros
+    for j in range(ns):
+        m = (hit_obj == j).astype(jnp.float32)
+        ar += m * sph[4, j]
+        ag += m * sph[5, j]
+        ab += m * sph[6, j]
+        qx += m * sph[0, j]
+        qy += m * sph[1, j]
+        qz += m * sph[2, j]
+    for j in range(npl):
+        m = (hit_obj == ns + j).astype(jnp.float32)
+        ar += m * pln[6, j]
+        ag += m * pln[7, j]
+        ab += m * pln[8, j]
+        qx += m * pln[3, j]
+        qy += m * pln[4, j]
+        qz += m * pln[5, j]
+        is_pl += m
+
+    plane_hit = is_pl > 0.5
+    vx, vy, vz = Px - qx, Py - qy, Pz - qz
+    # Guard: on plane-hit lanes q is a *normal* (P-q can vanish) and rsqrt(0)=inf
+    # would turn the masked-out branch's zero cotangent into NaN in the reverse
+    # sweep (inf * 0). Same double-where guard on every reciprocal norm.
+    vv = vx * vx + vy * vy + vz * vz
+    srn = jax.lax.rsqrt(jnp.where(plane_hit | (vv <= 1e-20), 1.0, vv))
+    nx = jnp.where(plane_hit, qx, vx * srn)
+    ny = jnp.where(plane_hit, qy, vy * srn)
+    nz = jnp.where(plane_hit, qz, vz * srn)
+
+    Pbx, Pby, Pbz = Px + BIAS * nx, Py + BIAS * ny, Pz + BIAS * nz
+
+    # --- lights: dirs, occlusion (no grad), lambert masks ---------------------
+    lam_sum = zeros
+    light_res = []
+    for l in range(nl):
+        wx, wy, wz = lts[0, l] - Pbx, lts[1, l] - Pby, lts[2, l] - Pbz
+        ww = wx * wx + wy * wy + wz * wz
+        lrn = jax.lax.rsqrt(jnp.where(ww <= 1e-20, 1.0, ww))
+        Lx, Ly, Lz = wx * lrn, wy * lrn, wz * lrn
+        # occlusion sweep (mask only)
+        occ = jnp.zeros(shape, jnp.float32)
+        a_l = Lx * Lx + Ly * Ly + Lz * Lz
+        od_l = Pbx * Lx + Pby * Ly + Pbz * Lz
+        oo_l = Pbx * Pbx + Pby * Pby + Pbz * Pbz
+        for j in range(ns):
+            cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
+            cd = cx * Lx + cy * Ly + cz * Lz
+            oc = cx * Pbx + cy * Pby + cz * Pbz
+            b = 2.0 * (od_l - cd)
+            c = oo_l - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
+            disc = b * b - 4.0 * a_l * c
+            has = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+            nn, nf = -b - sq, -b + sq
+            t_j = jnp.where(nn > 0.0, nn, nf) / (2.0 * a_l)
+            valid = has & ((nn > 0.0) | (nf > 0.0))
+            if compat:
+                valid &= t_j < FAR
+            occ = jnp.maximum(occ, valid.astype(jnp.float32))
+        for j in range(npl):
+            pnx, pny, pnz = pln[3, j], pln[4, j], pln[5, j]
+            den = Lx * pnx + Ly * pny + Lz * pnz
+            den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+            num = ((pln[0, j] - Pbx) * pnx + (pln[1, j] - Pby) * pny +
+                   (pln[2, j] - Pbz) * pnz)
+            t_j = num / den_safe
+            eps = 1e-3 if compat else 1e-8
+            valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
+            if compat:
+                valid &= t_j < FAR
+            occ = jnp.maximum(occ, valid.astype(jnp.float32))
+        ldotn = Lx * nx + Ly * ny + Lz * nz
+        m_l = ((occ < 0.5) & (ldotn > 0.0)).astype(jnp.float32)
+        lam_sum = lam_sum + m_l * ldotn
+        light_res.append((Lx, Ly, Lz, lrn, m_l, ldotn))
+
+    shade = amb + lamb * lam_sum
+    alive_f = alive.astype(jnp.float32)
+    r_out = alive_f * shade * ar
+    g_out = alive_f * shade * ag
+    b_out = alive_f * shade * ab
+
+    # --- reflection direction -------------------------------------------------
+    ddn = dx * nx + dy * ny + dz * nz
+    wxr, wyr, wzr = dx - 2.0 * ddn * nx, dy - 2.0 * ddn * ny, dz - 2.0 * ddn * nz
+    wwr = wxr * wxr + wyr * wyr + wzr * wzr
+    rrn = jax.lax.rsqrt(jnp.where(wwr <= 1e-20, 1.0, wwr))
+    Rx, Ry, Rz = wxr * rrn, wyr * rrn, wzr * rrn
+    o_next = (Pbx + BIAS * Rx, Pby + BIAS * Ry, Pbz + BIAS * Rz)
+
+    res = dict(o=(ox, oy, oz), d=(dx, dy, dz), a=a, t=t, hit_obj=hit_obj,
+               alive=alive, alive_f=alive_f, P=(Px, Py, Pz),
+               q=(qx, qy, qz), plane_hit=plane_hit, v=(vx, vy, vz), srn=srn,
+               n=(nx, ny, nz), Pb=(Pbx, Pby, Pbz), lights=light_res,
+               lam_sum=lam_sum, albedo=(ar, ag, ab), shade=shade, ddn=ddn,
+               w_refl=(wxr, wyr, wzr), rrn=rrn, R=(Rx, Ry, Rz))
+    return (r_out, g_out, b_out), o_next, (Rx, Ry, Rz), alive, res
+
+
+def _bwd_trace(params, sph, ns, pln, npl, lts, nl, res, gbar, obar_next,
+               dbar_next, acc, *, compat):
+    """Reverse sweep of one trace.
+
+    ``gbar``: (gr, gg, gb) cotangent on this trace's rgb output.
+    ``obar_next``/``dbar_next``: cotangents on the next-bounce origin and
+    direction (zeros for the last trace). ``acc(slot, vec)`` accumulates the
+    lane-sum of ``vec`` into flat-grad ``slot``. Returns (obar, dbar) for the
+    previous bounce.
+    """
+    amb = params[_P_AMB]
+    lamb = params[_P_LAMB]
+    gr, gg, gb = gbar
+    ox, oy, oz = res["o"]
+    dx, dy, dz = res["d"]
+    Px, Py, Pz = res["P"]
+    Pbx, Pby, Pbz = res["Pb"]
+    nx, ny, nz = res["n"]
+    ar, ag, ab = res["albedo"]
+    alive_f = res["alive_f"]
+    shade = res["shade"]
+    hit_obj = res["hit_obj"]
+    t = jnp.where(res["alive"], res["t"], 0.0)
+
+    # rgb = alive * shade * albedo
+    gdota = gr * ar + gg * ag + gb * ab           # (g . A)
+    shade_bar = alive_f * gdota
+    abar = (alive_f * shade * gr, alive_f * shade * gg, alive_f * shade * gb)
+
+    # materials
+    acc("amb", shade_bar)
+    acc("lamb", shade_bar * res["lam_sum"])
+    lam_sum_bar = shade_bar * lamb
+
+    # reflection direction / next-bounce chain:
+    #   o_next = Pb + BIAS*R ; d_next = R
+    onx, ony, onz = obar_next
+    Rbar = (BIAS * onx + dbar_next[0], BIAS * ony + dbar_next[1],
+            BIAS * onz + dbar_next[2])
+    Pb_bar_x, Pb_bar_y, Pb_bar_z = onx, ony, onz
+
+    # R = normalize(w), w = d - 2 (d.n) n
+    wbx, wby, wbz = _norm_adj(res["R"], res["rrn"], Rbar)
+    ndotwb = nx * wbx + ny * wby + nz * wbz
+    ddn = res["ddn"]
+    dbar_x = wbx - 2.0 * ndotwb * nx
+    dbar_y = wby - 2.0 * ndotwb * ny
+    dbar_z = wbz - 2.0 * ndotwb * nz
+    nbar_x = -2.0 * (ndotwb * dx + ddn * wbx)
+    nbar_y = -2.0 * (ndotwb * dy + ddn * wby)
+    nbar_z = -2.0 * (ndotwb * dz + ddn * wbz)
+
+    # lights: lam_sum = sum_l m_l (L_l . n); L = normalize(lpos - Pb)
+    for l in range(nl):
+        Lx, Ly, Lz, lrn, m_l, ldotn = res["lights"][l]
+        chi = lam_sum_bar * m_l
+        Lbar = (chi * nx, chi * ny, chi * nz)
+        nbar_x += chi * Lx
+        nbar_y += chi * Ly
+        nbar_z += chi * Lz
+        vbx, vby, vbz = _norm_adj((Lx, Ly, Lz), lrn, Lbar)
+        acc(("light", l, 0), vbx)
+        acc(("light", l, 1), vby)
+        acc(("light", l, 2), vbz)
+        Pb_bar_x -= vbx
+        Pb_bar_y -= vby
+        Pb_bar_z -= vbz
+
+    # Pb = P + BIAS*n
+    P_bar_x, P_bar_y, P_bar_z = Pb_bar_x, Pb_bar_y, Pb_bar_z
+    nbar_x += BIAS * Pb_bar_x
+    nbar_y += BIAS * Pb_bar_y
+    nbar_z += BIAS * Pb_bar_z
+
+    # normal: sphere n = normalize(P - c); plane n = q (parameter directly)
+    plane_hit = res["plane_hit"]
+    ph = plane_hit.astype(jnp.float32)
+    sp = alive_f * (1.0 - ph)
+    plm = alive_f * ph
+    vbx, vby, vbz = _norm_adj((jnp.where(plane_hit, 0.0, nx),
+                               jnp.where(plane_hit, 0.0, ny),
+                               jnp.where(plane_hit, 0.0, nz)), res["srn"],
+                              (nbar_x * sp, nbar_y * sp, nbar_z * sp))
+    P_bar_x += vbx
+    P_bar_y += vby
+    P_bar_z += vbz
+    # sphere-center part of the normal: c appears as P - c
+    cbar_n = (-vbx, -vby, -vbz)
+    # plane-normal parameter cotangent
+    pn_bar = (nbar_x * plm, nbar_y * plm, nbar_z * plm)
+
+    # P = o + t d
+    obar_x, obar_y, obar_z = P_bar_x, P_bar_y, P_bar_z
+    tbar = P_bar_x * dx + P_bar_y * dy + P_bar_z * dz
+    dbar_x += t * P_bar_x
+    dbar_y += t * P_bar_y
+    dbar_z += t * P_bar_z
+
+    # t adjoints via implicit function theorem, masked per winning object.
+    a = res["a"]
+    od = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
+    for j in range(ns):
+        m = ((hit_obj == j) & res["alive"]).astype(jnp.float32)
+        mt = m * tbar
+        cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
+        b = 2.0 * (od - (cx * dx + cy * dy + cz * dz))
+        den = 2.0 * a * t + b
+        inv_den = jnp.where(jnp.abs(den) > _DEN_EPS, 1.0 / den, 0.0)
+        # dt = -(t^2 da + t db + dc) / den
+        abar_q = -mt * t * t * inv_den
+        bbar = -mt * t * inv_den
+        cbar = -mt * inv_den
+        # a = d.d
+        dbar_x += 2.0 * dx * abar_q
+        dbar_y += 2.0 * dy * abar_q
+        dbar_z += 2.0 * dz * abar_q
+        # b = 2 (o - c).d
+        obar_x += 2.0 * dx * bbar
+        obar_y += 2.0 * dy * bbar
+        obar_z += 2.0 * dz * bbar
+        dbar_x += 2.0 * (ox - cx) * bbar
+        dbar_y += 2.0 * (oy - cy) * bbar
+        dbar_z += 2.0 * (oz - cz) * bbar
+        ccx = -2.0 * dx * bbar
+        ccy = -2.0 * dy * bbar
+        ccz = -2.0 * dz * bbar
+        # c = |o - c|^2 - r^2
+        obar_x += 2.0 * (ox - cx) * cbar
+        obar_y += 2.0 * (oy - cy) * cbar
+        obar_z += 2.0 * (oz - cz) * cbar
+        ccx += -2.0 * (ox - cx) * cbar
+        ccy += -2.0 * (oy - cy) * cbar
+        ccz += -2.0 * (oz - cz) * cbar
+        rbar = -2.0 * r * cbar
+        # center also appears in the normal (masked by hit == j)
+        acc(("sph", j, 0), ccx + m * cbar_n[0])
+        acc(("sph", j, 1), ccy + m * cbar_n[1])
+        acc(("sph", j, 2), ccz + m * cbar_n[2])
+        acc(("sph", j, 3), rbar)
+        acc(("sph", j, 4), m * abar[0])
+        acc(("sph", j, 5), m * abar[1])
+        acc(("sph", j, 6), m * abar[2])
+    for j in range(npl):
+        m = ((hit_obj == ns + j) & res["alive"]).astype(jnp.float32)
+        mt = m * tbar
+        pnx, pny, pnz = pln[3, j], pln[4, j], pln[5, j]
+        den = dx * pnx + dy * pny + dz * pnz
+        inv_den = jnp.where(jnp.abs(den) > _DEN_EPS, 1.0 / den, 0.0)
+        # t = num / den, num = n.(p0 - o)
+        num_bar = mt * inv_den
+        den_bar = -mt * t * inv_den
+        p0x, p0y, p0z = pln[0, j], pln[1, j], pln[2, j]
+        acc(("pln", j, 0), pnx * num_bar)
+        acc(("pln", j, 1), pny * num_bar)
+        acc(("pln", j, 2), pnz * num_bar)
+        obar_x -= pnx * num_bar
+        obar_y -= pny * num_bar
+        obar_z -= pnz * num_bar
+        nb_x = (p0x - ox) * num_bar + dx * den_bar + m * pn_bar[0]
+        nb_y = (p0y - oy) * num_bar + dy * den_bar + m * pn_bar[1]
+        nb_z = (p0z - oz) * num_bar + dz * den_bar + m * pn_bar[2]
+        acc(("pln", j, 3), nb_x)
+        acc(("pln", j, 4), nb_y)
+        acc(("pln", j, 5), nb_z)
+        dbar_x += pnx * den_bar
+        dbar_y += pny * den_bar
+        dbar_z += pnz * den_bar
+        acc(("pln", j, 6), m * abar[0])
+        acc(("pln", j, 7), m * abar[1])
+        acc(("pln", j, 8), m * abar[2])
+
+    return (obar_x, obar_y, obar_z), (dbar_x, dbar_y, dbar_z)
+
+
+def grad_layout(ns, npl, nl):
+    """Slot index map for the flat gradient vector."""
+    slots = {}
+    k = 0
+    for j in range(ns):
+        for c in range(7):
+            slots[("sph", j, c)] = k
+            k += 1
+    for j in range(npl):
+        for c in range(9):
+            slots[("pln", j, c)] = k
+            k += 1
+    for l in range(nl):
+        for c in range(3):
+            slots[("light", l, c)] = k
+            k += 1
+    slots["amb"] = k
+    slots["lamb"] = k + 1
+    slots["refl"] = k + 2
+    return slots, k + 3
+
+
+def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat):
+    shape = (TW, TH)
+    slots, n_grads = grad_layout(ns, npl, nl)
+
+    def kernel(params, sph, pln, lts, g_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when((i == 0) & (j == 0))
+        def _zero():
+            for k in range(n_grads):
+                out_ref[k] = jnp.float32(0.0)
+
+        acc_vals = {}
+
+        def acc(slot, vec):
+            k = slots[slot]
+            acc_vals[k] = acc_vals.get(k, 0.0) + vec
+
+        # --- recompute forward chain with residuals ---------------------------
+        fx = (i * TW).astype(jnp.float32) + params[_P_X0]
+        fy = (j * TH).astype(jnp.float32)
+        gx = fx + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+        gy = fy + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        pcx = params[_P_FOCAL]
+        pcy = params[_P_Y0] + gx * params[_P_DY]
+        pcz = params[_P_Z0] + gy * params[_P_DZ]
+        R = params
+        dx = R[_P_ROT + 0] * pcx + R[_P_ROT + 1] * pcy + R[_P_ROT + 2] * pcz
+        dy = R[_P_ROT + 3] * pcx + R[_P_ROT + 4] * pcy + R[_P_ROT + 5] * pcz
+        dz = R[_P_ROT + 6] * pcx + R[_P_ROT + 7] * pcy + R[_P_ROT + 8] * pcz
+        dn = _rnorm(dx, dy, dz)
+        d0 = (dx * dn, dy * dn, dz * dn)
+        o0 = (jnp.full(shape, params[_P_ORIGIN + 0], jnp.float32),
+              jnp.full(shape, params[_P_ORIGIN + 1], jnp.float32),
+              jnp.full(shape, params[_P_ORIGIN + 2], jnp.float32))
+
+        refl = params[_P_REFL]
+        traces = []
+        o_cur, d_cur = o0, d0
+        aliveprod = jnp.ones(shape, jnp.float32)  # prod of alive masks before i
+        weight = jnp.ones(shape, jnp.float32)
+        for bounce in range(depth + 1):
+            rgb, o_next, d_next, alive, res = _fwd_trace_res(
+                params, sph, ns, pln, npl, lts, nl, o_cur, d_cur,
+                compat=compat, shape=shape)
+            traces.append(dict(rgb=rgb, res=res, weight=weight,
+                               aliveprod=aliveprod, bounce=bounce))
+            aliveprod = aliveprod * res["alive_f"]
+            weight = aliveprod * (refl ** (bounce + 1))
+            o_cur, d_cur = o_next, d_next
+
+        # --- incoming cotangent (compat store swap for no-AA renders) ---------
+        # Mask lanes beyond the true image extent: partial tiles are padded and
+        # the pad region of the cotangent block is uninitialized memory — it
+        # would otherwise flow into the scalar reductions.
+        inb = (gx < W) & (gy < H)
+        # where-select, not multiply: pad memory can hold NaN/inf on hardware
+        # and NaN * 0 == NaN.
+        g0 = jnp.where(inb, g_ref[0], 0.0)
+        g1 = jnp.where(inb, g_ref[1], 0.0)
+        g2 = jnp.where(inb, g_ref[2], 0.0)
+        if compat:
+            gr_img, gg_img, gb_img = g0, g2, g1  # out = (r, b, g)
+        else:
+            gr_img, gg_img, gb_img = g0, g1, g2
+
+        # reflection-coefficient adjoint: w_i = refl^i * aliveprod_i
+        refl_bar = jnp.zeros(shape, jnp.float32)
+        for tr in traces[1:]:
+            i_b = tr["bounce"]
+            gdotrgb = (gr_img * tr["rgb"][0] + gg_img * tr["rgb"][1] +
+                       gb_img * tr["rgb"][2])
+            # d(refl^i)/drefl = i * refl^(i-1)
+            refl_bar += (i_b * (refl ** (i_b - 1))) * tr["aliveprod"] * gdotrgb
+        acc("refl", refl_bar)
+
+        # --- reverse sweep over the bounce chain ------------------------------
+        zero3 = (jnp.zeros(shape, jnp.float32),) * 3
+        obar, dbar = zero3, zero3
+        for tr in reversed(traces):
+            w = tr["weight"]
+            gbar = (w * gr_img, w * gg_img, w * gb_img)
+            obar, dbar = _bwd_trace(params, sph, ns, pln, npl, lts, nl,
+                                    tr["res"], gbar, obar, dbar, acc,
+                                    compat=compat)
+        # primary obar/dbar would flow to the camera — not emitted.
+
+        # --- reduce lane partials into the flat SMEM accumulator --------------
+        for k in sorted(acc_vals):
+            out_ref[k] += _vsum(acc_vals[k])
+
+    return kernel, n_grads
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "compat", "tile_w",
+                                             "tile_h", "interpret"))
+def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
+                       compat: bool = True, tile_w: int = 32, tile_h: int = 128,
+                       interpret: bool = False):
+    """Fused backward: cotangent image ``(w, h, 3)`` -> scene-gradient pytree.
+
+    Matches ``jax.vjp`` of the jnp path (``aliasing=False``) w.r.t. the scene;
+    camera/fov cotangents are not computed (zeros).
+    """
+    W, H = camera.resolution
+    ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
+    assert ns <= _UNROLL_LIMIT and npl <= _UNROLL_LIMIT, (
+        "fused backward supports unrolled scenes only; use XLA autodiff")
+    params = _pack_params(camera, scene, compat)
+    sph = jnp.concatenate([
+        scene.spheres.center.T.astype(jnp.float32),
+        scene.spheres.radius[None].astype(jnp.float32),
+        scene.spheres.albedo.T.astype(jnp.float32)], axis=0) if ns else \
+        jnp.zeros((7, 1), jnp.float32)
+    pln = jnp.concatenate([
+        scene.planes.origin.T.astype(jnp.float32),
+        scene.planes.normal.T.astype(jnp.float32),
+        scene.planes.albedo.T.astype(jnp.float32)], axis=0) if npl else \
+        jnp.zeros((9, 1), jnp.float32)
+    lts = (scene.lights.position.T.astype(jnp.float32) if nl else
+           jnp.zeros((3, 1), jnp.float32))
+
+    TW = min(tile_w, W)
+    TH = tile_h
+    kernel, n_grads = _make_bwd_kernel(W=W, H=H, TW=TW, TH=TH, depth=depth,
+                                       ns=ns, npl=npl, nl=nl, compat=compat)
+    g_chw = jnp.moveaxis(g_image.astype(jnp.float32), -1, 0)  # (3, W, H)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    flat = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(W, TW), pl.cdiv(H, TH)),
+        in_specs=[smem(), smem(), smem(), smem(),
+                  pl.BlockSpec((3, TW, TH), lambda i, j: (0, i, j))],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_grads,), jnp.float32),
+        interpret=interpret,
+    )(params, sph, pln, lts, g_chw)
+
+    slots, _ = grad_layout(ns, npl, nl)
+    sph_g = flat[:7 * ns].reshape(ns, 7) if ns else jnp.zeros((0, 7))
+    off = 7 * ns
+    pln_g = flat[off:off + 9 * npl].reshape(npl, 9) if npl else jnp.zeros((0, 9))
+    off += 9 * npl
+    lts_g = flat[off:off + 3 * nl].reshape(nl, 3) if nl else jnp.zeros((0, 3))
+    off += 3 * nl
+
+    from ...models.scene import Scene, Spheres, Planes, Lights, Materials
+    return Scene(
+        spheres=Spheres(center=sph_g[:, 0:3], radius=sph_g[:, 3],
+                        albedo=sph_g[:, 4:7]),
+        planes=Planes(origin=pln_g[:, 0:3], normal=pln_g[:, 3:6],
+                      albedo=pln_g[:, 6:9]),
+        lights=Lights(position=lts_g),
+        materials=Materials(ambient=flat[off], lambert=flat[off + 1],
+                            reflection=flat[off + 2],
+                            specular=jnp.float32(0.0),
+                            shininess=jnp.float32(0.0)),
+    )

@@ -72,13 +72,44 @@ def _mask_grads(grads: Scene, trainable: Optional[Sequence[str]]) -> Scene:
     return dataclasses.replace(grads, **updates) if updates else grads
 
 
+def pallas_value_and_grad(camera, target, *, depth: int = 2, compat: bool = True):
+    """``scene -> (loss, grads)`` built from the fused forward + fused backward
+    Mosaic kernels (ops/pallas) — the speed-of-light training path.
+
+    MSE pixel loss, ``aliasing=False``; grads cover the full scene pytree (camera
+    cotangents are zero by design — see ops/pallas/render_bwd.py). Falls back to
+    XLA autodiff via :func:`pixel_loss` for rolled (>16-object) scenes.
+    """
+    from .ops.pallas.render_pallas import render_image_pallas
+    from .ops.pallas.render_bwd import scene_grads_pallas
+
+    def value_and_grad(scene):
+        img = render_image_pallas(camera, scene, depth=depth, aliasing=False,
+                                  compat=compat)
+        diff = img - target
+        loss = jnp.mean(diff ** 2)
+        g_img = 2.0 * diff / diff.size
+        grads = scene_grads_pallas(camera, scene, g_img, depth=depth,
+                                   compat=compat)
+        return loss, grads
+
+    return value_and_grad
+
+
 def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
-                    trainable: Optional[Sequence[str]] = None):
-    """Jitted ``(scene, opt_state) -> (scene, opt_state, loss)`` step."""
+                    trainable: Optional[Sequence[str]] = None,
+                    value_and_grad: Optional[Callable] = None):
+    """Jitted ``(scene, opt_state) -> (scene, opt_state, loss)`` step.
+
+    Pass either ``loss_fn`` (differentiated by XLA) or an explicit
+    ``value_and_grad`` (e.g. :func:`pallas_value_and_grad`).
+    """
+    vg = value_and_grad if value_and_grad is not None else \
+        jax.value_and_grad(loss_fn)
 
     @jax.jit
     def step(scene, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(scene)
+        loss, grads = vg(scene)
         grads = _mask_grads(grads, trainable)
         updates, opt_state = optimizer.update(grads, opt_state, scene)
         scene = optax.apply_updates(scene, updates)
@@ -90,21 +121,28 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
 def fit_scene(init_scene: Scene, camera, target, *, steps: int = 200,
               lr: float = 2e-2, depth: int = 2, aliasing: bool = False,
               compat: bool = True, trainable: Optional[Sequence[str]] = ("spheres",),
-              mesh=None, logger: Optional[MetricsLogger] = None,
-              log_every: int = 20):
+              mesh=None, backend: str = "jnp",
+              logger: Optional[MetricsLogger] = None, log_every: int = 20):
     """Run the inverse-render optimization; returns ``(scene, losses)``.
 
     ``trainable`` selects which top-level scene fields receive updates (default:
     sphere geometry/albedo, matching configs[3]); the rest stay frozen.
+    ``backend="pallas"`` uses the fused forward+backward Mosaic kernels
+    (single-device, no AA).
     """
-    if mesh is not None:
+    vg = None
+    if backend == "pallas":
+        assert mesh is None and not aliasing
+        vg = pallas_value_and_grad(camera, target, depth=depth, compat=compat)
+        loss_fn = None
+    elif mesh is not None:
         loss_fn = make_loss_fn(camera, target, mesh, depth=depth,
                                aliasing=aliasing, compat=compat)
     else:
         loss_fn = pixel_loss(camera, target, depth=depth, aliasing=aliasing,
                              compat=compat)
     optimizer = optax.adam(lr)
-    step = make_train_step(loss_fn, optimizer, trainable)
+    step = make_train_step(loss_fn, optimizer, trainable, value_and_grad=vg)
     opt_state = optimizer.init(init_scene)
     scene = init_scene
     losses = []

@@ -26,17 +26,24 @@ def _sync(out) -> None:
                            else leaves[0])
 
 
-def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 5, **kwargs) -> float:
+def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 5,
+            best_of: int = 1, **kwargs) -> float:
     """Wall-clock seconds per call: queue ``iters`` calls back-to-back, sync once,
-    return the per-call aggregate (pipelined device throughput)."""
+    return the per-call aggregate (pipelined device throughput).
+
+    ``best_of > 1`` repeats the whole measurement and returns the fastest
+    aggregate — the standard defense against noisy/time-shared devices."""
     for _ in range(max(warmup, 1)):
         _sync(fn(*args, **kwargs))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args, **kwargs)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(max(best_of, 1)):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*args, **kwargs)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def rays_per_image(width: int, height: int, *, depth: int, aliasing: bool,
