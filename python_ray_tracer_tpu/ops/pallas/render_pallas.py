@@ -311,6 +311,98 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
     return r, g, b, Px, Py, Pz, rx, ry, rz, alive
 
 
+def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
+                  shape):
+    """Full sample evaluation: fractional pixel coords -> (r, g, b).
+
+    Analytic ray generation + the unrolled bounce chain (value-flow form)."""
+    pcx = params[_P_FOCAL]
+    pcy = params[_P_Y0] + px * params[_P_DY]
+    pcz = params[_P_Z0] + py * params[_P_DZ]
+    R = params
+    dx = R[_P_ROT + 0] * pcx + R[_P_ROT + 1] * pcy + R[_P_ROT + 2] * pcz
+    dy = R[_P_ROT + 3] * pcx + R[_P_ROT + 4] * pcy + R[_P_ROT + 5] * pcz
+    dz = R[_P_ROT + 6] * pcx + R[_P_ROT + 7] * pcy + R[_P_ROT + 8] * pcz
+    dn = _rnorm(dx, dy, dz)
+    dx, dy, dz = dx * dn, dy * dn, dz * dn
+    ox = params[_P_ORIGIN + 0]
+    oy = params[_P_ORIGIN + 1]
+    oz = params[_P_ORIGIN + 2]
+    refl = params[_P_REFL]
+    r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive = _trace(
+        params, sph, ns, pln, npl, lts, nl, ox, oy, oz, dx, dy, dz,
+        compat=compat, shape=shape)
+    w = jnp.ones(shape, jnp.float32)
+    for bounce in range(depth):
+        w = w * refl * alive.astype(jnp.float32)
+        r2, g2, b2, Px, Py, Pz, Rx, Ry, Rz, alive2 = _trace(
+            params, sph, ns, pln, npl, lts, nl, Px, Py, Pz, Rx, Ry, Rz,
+            compat=compat, shape=shape)
+        r, g, b = r + w * r2, g + w * g2, b + w * b2
+        alive = alive & alive2
+    return r, g, b
+
+
+def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat):
+    """3x3-supersampled kernel with shared half-offset samples along x.
+
+    The reference's AA samples are midpoints between adjacent pixel locations
+    (kernels.py:43-50), so the sample at ``(x + 0.5, y)`` is identical for pixels
+    ``x`` and ``x+1``. Six sample grids per tile replace nine per-pixel samples:
+    centers C ``(TW, TH)``, x-halves XH ``(TW+1 in a TW+8 pad, TH)`` (shared
+    left/right), y-halves YT/YB ``(TW, TH)``, corner rows XYT/XYB ``(TW+1 pad,
+    TH)`` (each shared by two pixels) — 6.75/9 of the sample work, bit-identical
+    results. Sublane (+8) padding is cheap; lane padding would not be, so y
+    sharing is intentionally not attempted.
+    """
+    shape = (TW, TH)
+    shape_w = (TW + 8, TH)
+
+    def kernel(params, sph, pln, lts, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        fx = (i * TW).astype(jnp.float32) + params[_P_X0]
+        fy = (j * TH).astype(jnp.float32)
+        gx = fx + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+        gy = fy + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        gxw = (fx - 0.5 +
+               jax.lax.broadcasted_iota(jnp.int32, shape_w, 0).astype(jnp.float32))
+        gyw = fy + jax.lax.broadcasted_iota(jnp.int32, shape_w, 1).astype(jnp.float32)
+
+        chain = lambda px, py, shp: _sample_chain(
+            params, sph, ns, pln, npl, lts, nl, px, py, depth=depth,
+            compat=compat, shape=shp)
+
+        C = chain(gx, gy, shape)
+        XH = chain(gxw, gyw, shape_w)
+        YT = chain(gx, gy - 0.5, shape)
+        YB = chain(gx, gy + 0.5, shape)
+        XYT = chain(gxw, gyw - 0.5, shape_w)
+        XYB = chain(gxw, gyw + 0.5, shape_w)
+
+        def nsum(c):
+            return (XH[c][0:TW] + XH[c][1:TW + 1] +
+                    YT[c] + YB[c] +
+                    XYT[c][0:TW] + XYT[c][1:TW + 1] +
+                    XYB[c][0:TW] + XYB[c][1:TW + 1])
+
+        nr, ng, nb = nsum(0), nsum(1), nsum(2)
+        pr, pg, pb = C
+        interior = ((gx >= 1.0) & (gx <= W - 2) & (gy >= 1.0) & (gy <= H - 2))
+        inv9 = jnp.float32(1.0 / 9.0)
+        if compat:
+            # accumulation swap + store swap composed (see ops/render.py).
+            out_ref[0] = jnp.where(interior, (pr + nr) * inv9, pr)
+            out_ref[1] = jnp.where(interior, (pb + ng) * inv9, pb)
+            out_ref[2] = jnp.where(interior, (pg + nb) * inv9, pg)
+        else:
+            out_ref[0] = jnp.where(interior, (pr + nr) * inv9, pr)
+            out_ref[1] = jnp.where(interior, (pg + ng) * inv9, pg)
+            out_ref[2] = jnp.where(interior, (pb + nb) * inv9, pb)
+
+    return kernel
+
+
 def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                  predicate_bounces):
     shape = (TW, TH)
@@ -449,11 +541,12 @@ def _pack_params(camera, scene, compat, x_offset=0.0):
 
 @functools.partial(jax.jit, static_argnames=("depth", "aliasing", "compat",
                                              "tile_w", "tile_h", "interpret",
-                                             "local_width"))
+                                             "local_width", "aa_share"))
 def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
                         compat: bool = True, tile_w: int = 32, tile_h: int = 128,
                         interpret: bool = False, x_offset=0.0,
-                        local_width: int | None = None) -> jnp.ndarray:
+                        local_width: int | None = None,
+                        aa_share: bool = True) -> jnp.ndarray:
     """Fused-kernel render -> float ``(w, h, 3)`` image, matching
     :func:`..render.render_image` output bit-for-bit up to f32 reassociation.
 
@@ -482,12 +575,24 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
     lts = (scene.lights.position.T.astype(jnp.float32) if nl else
            jnp.zeros((3, 1), jnp.float32))
 
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    if aliasing and aa_share:
+        kernel = _make_kernel_aa_shared(W=W, H=H, TW=TW, TH=TH, depth=depth,
+                                        ns=ns, npl=npl, nl=nl, compat=compat)
+        out = pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(W_out, TW), pl.cdiv(H, TH)),
+            in_specs=[smem(), smem(), smem(), smem()],
+            out_specs=pl.BlockSpec((3, TW, TH), lambda i, j: (0, i, j)),
+            out_shape=jax.ShapeDtypeStruct((3, W_out, H), jnp.float32),
+            interpret=interpret,
+        )(params, sph, pln, lts)
+        return jnp.moveaxis(out, 0, -1)
     predicate_bounces = not aliasing
     kernel = _make_kernel(W=W, H=H, TW=TW, TH=TH, S=S, depth=depth, ns=ns,
                           npl=npl, nl=nl, compat=compat, aliasing=aliasing,
                           predicate_bounces=predicate_bounces)
     grid = (pl.cdiv(W_out, TW), pl.cdiv(H, TH), S)
-    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     scratch = ([pltpu.VMEM((TW, TH), jnp.float32)] * 11) if (depth > 0 and predicate_bounces) else []
     out = pl.pallas_call(
         kernel,

@@ -30,19 +30,12 @@ def _shard_rows(w: int, mesh: Mesh, axis: str):
     return w // n
 
 
-def render_image_sharded(camera, scene, mesh: Mesh, *, depth: int = 2,
-                         aliasing: bool = True, compat: bool = True,
-                         axis: str = RAY_AXIS, backend: str = "jnp",
-                         pallas_interpret: bool = False) -> jnp.ndarray:
-    """Distributed render -> ``(w, h, 3)`` float image sharded over ``axis``.
-
-    Each device renders a contiguous block of image columns (x rows in the
-    reference's (w, h) indexing). Communication-free; the result stays sharded so a
-    downstream loss can reduce it without a gather. ``backend="pallas"`` runs the
-    fused Mosaic kernel on each shard's global column slice (the production
-    multi-chip path); ``"jnp"`` the XLA-fused differentiable path.
-    """
-    w, h = camera.resolution
+@partial(jax.jit, static_argnames=("resolution", "mesh", "depth", "aliasing",
+                                   "compat", "axis", "backend",
+                                   "pallas_interpret", "aa_share"))
+def _render_sharded_impl(scene, camera, *, resolution, mesh, depth, aliasing,
+                         compat, axis, backend, pallas_interpret, aa_share):
+    w, h = resolution
     rows_per = _shard_rows(w, mesh, axis)
     ys = jnp.arange(h, dtype=jnp.float32)
 
@@ -55,7 +48,8 @@ def render_image_sharded(camera, scene, mesh: Mesh, *, depth: int = 2,
             return render_image_pallas(camera, scene, depth=depth,
                                        aliasing=aliasing, compat=compat,
                                        x_offset=x0, local_width=rows_per,
-                                       interpret=pallas_interpret)
+                                       interpret=pallas_interpret,
+                                       aa_share=aa_share)
     else:
         def shard_fn(scene, camera):
             i = jax.lax.axis_index(axis)
@@ -66,6 +60,27 @@ def render_image_sharded(camera, scene, mesh: Mesh, *, depth: int = 2,
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P()),
                    out_specs=P(axis, None, None), check_vma=False)
     return fn(scene, camera)
+
+
+def render_image_sharded(camera, scene, mesh: Mesh, *, depth: int = 2,
+                         aliasing: bool = True, compat: bool = True,
+                         axis: str = RAY_AXIS, backend: str = "jnp",
+                         pallas_interpret: bool = False,
+                         aa_share: bool = True) -> jnp.ndarray:
+    """Distributed render -> ``(w, h, 3)`` float image sharded over ``axis``.
+
+    Each device renders a contiguous block of image columns (x rows in the
+    reference's (w, h) indexing). Communication-free; the result stays sharded so a
+    downstream loss can reduce it without a gather. ``backend="pallas"`` runs the
+    fused Mosaic kernel on each shard's global column slice (the production
+    multi-chip path); ``"jnp"`` the XLA-fused differentiable path. Jitted and
+    cached per (mesh, resolution, flags) — repeated calls don't re-trace.
+    """
+    return _render_sharded_impl(scene, camera, resolution=camera.resolution,
+                                mesh=mesh, depth=depth, aliasing=aliasing,
+                                compat=compat, axis=axis, backend=backend,
+                                pallas_interpret=pallas_interpret,
+                                aa_share=aa_share)
 
 
 def make_loss_fn(camera, target, mesh: Mesh, *, depth: int = 2, aliasing: bool = True,

@@ -18,6 +18,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Functional XLA has no data races to detect (SURVEY §5); the numerical analogue
+# is NaN poisoning — surface it at the op that produced it when requested.
+if os.environ.get("RT_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)
+
 import numpy as np
 import pytest
 
