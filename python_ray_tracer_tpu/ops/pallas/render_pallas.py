@@ -130,11 +130,11 @@ def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
             state = upd(state, t_j, valid, (sph[4, j], sph[5, j], sph[6, j]),
                         (sph[0, j], sph[1, j], sph[2, j]), False)
     elif ns:
-        def body(j, state):
+        def one_s(j, state):
             t_j, valid = sphere_t(sph[0, j], sph[1, j], sph[2, j], sph[3, j])
             return upd(state, t_j, valid, (sph[4, j], sph[5, j], sph[6, j]),
                        (sph[0, j], sph[1, j], sph[2, j]), False)
-        state = jax.lax.fori_loop(0, ns, body, state)
+        state = jax.lax.fori_loop(0, ns, one_s, state)
 
     if npl <= _UNROLL_LIMIT:
         for j in range(npl):
@@ -143,12 +143,12 @@ def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
             state = upd(state, t_j, valid, (pln[6, j], pln[7, j], pln[8, j]),
                         (pln[3, j], pln[4, j], pln[5, j]), True)
     elif npl:
-        def bodyp(j, state):
+        def one_p(j, state):
             t_j, valid = plane_t(pln[0, j], pln[1, j], pln[2, j],
                                  pln[3, j], pln[4, j], pln[5, j])
             return upd(state, t_j, valid, (pln[6, j], pln[7, j], pln[8, j]),
                        (pln[3, j], pln[4, j], pln[5, j]), True)
-        state = jax.lax.fori_loop(0, npl, bodyp, state)
+        state = jax.lax.fori_loop(0, npl, one_p, state)
     return state
 
 
