@@ -415,7 +415,16 @@ def grad_layout(ns, npl, nl):
     slots["amb"] = k
     slots["lamb"] = k + 1
     slots["refl"] = k + 2
-    return slots, k + 3
+    k += 3
+    for c in range(3):
+        slots[("cam_pos", c)] = k
+        k += 1
+    for r in range(3):
+        for c in range(3):
+            slots[("rot", r, c)] = k
+            k += 1
+    slots["fov"] = k
+    return slots, k + 1
 
 
 def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat):
@@ -451,6 +460,7 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat):
         dz = R[_P_ROT + 6] * pcx + R[_P_ROT + 7] * pcy + R[_P_ROT + 8] * pcz
         dn = _rnorm(dx, dy, dz)
         d0 = (dx * dn, dy * dn, dz * dn)
+        raygen_res = (pcx, pcy, pcz, dn, d0)
         o0 = (jnp.full(shape, params[_P_ORIGIN + 0], jnp.float32),
               jnp.full(shape, params[_P_ORIGIN + 1], jnp.float32),
               jnp.full(shape, params[_P_ORIGIN + 2], jnp.float32))
@@ -504,7 +514,24 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat):
             obar, dbar = _bwd_trace(params, sph, ns, pln, npl, lts, nl,
                                     tr["res"], gbar, obar, dbar, acc,
                                     compat=compat)
-        # primary obar/dbar would flow to the camera — not emitted.
+        # --- camera adjoints from the primary trace's (obar, dbar) ------------
+        # position: origin is broadcast, so its cotangent is the lane sum.
+        acc(("cam_pos", 0), obar[0])
+        acc(("cam_pos", 1), obar[1])
+        acc(("cam_pos", 2), obar[2])
+        # direction: d = normalize(R @ p), p = (focal, y0+px*dy, z0+py*dz).
+        pcx_r, pcy_r, pcz_r, dn_r, d0_r = raygen_res
+        ubx, uby, ubz = _norm_adj(d0_r, dn_r, dbar)
+        pvec = (jnp.full(shape, pcx_r, jnp.float32), pcy_r, pcz_r)
+        for rr, ub in enumerate((ubx, uby, ubz)):
+            for cc in range(3):
+                acc(("rot", rr, cc), ub * pvec[cc])
+        # focal feeds p[0]; fov via focal = cot(fov_rad/2):
+        #   dfocal/dfov = -(1 + focal^2) * pi/360.
+        focal_bar = (R[_P_ROT + 0] * ubx + R[_P_ROT + 3] * uby +
+                     R[_P_ROT + 6] * ubz)
+        dfdf = -(1.0 + pcx_r * pcx_r) * jnp.float32(3.14159265358979 / 360.0)
+        acc("fov", focal_bar * dfdf)
 
         # --- reduce lane partials into the flat SMEM accumulator --------------
         for k in sorted(acc_vals):
@@ -514,14 +541,16 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat):
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "compat", "tile_w",
-                                             "tile_h", "interpret"))
+                                             "tile_h", "interpret",
+                                             "return_camera"))
 def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                        compat: bool = True, tile_w: int = 32, tile_h: int = 128,
-                       interpret: bool = False):
+                       interpret: bool = False, return_camera: bool = False):
     """Fused backward: cotangent image ``(w, h, 3)`` -> scene-gradient pytree.
 
-    Matches ``jax.vjp`` of the jnp path (``aliasing=False``) w.r.t. the scene;
-    camera/fov cotangents are not computed (zeros).
+    Matches ``jax.vjp`` of the jnp path (``aliasing=False``). With
+    ``return_camera=True`` also returns the camera-gradient pytree
+    (position/rotation/fov).
     """
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
@@ -566,7 +595,8 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     off += 3 * nl
 
     from ...models.scene import Scene, Spheres, Planes, Lights, Materials
-    return Scene(
+    from ...models.camera import Camera
+    scene_g = Scene(
         spheres=Spheres(center=sph_g[:, 0:3], radius=sph_g[:, 3],
                         albedo=sph_g[:, 4:7]),
         planes=Planes(origin=pln_g[:, 0:3], normal=pln_g[:, 3:6],
@@ -577,3 +607,10 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                             specular=jnp.float32(0.0),
                             shininess=jnp.float32(0.0)),
     )
+    if not return_camera:
+        return scene_g
+    off += 3
+    camera_g = Camera(position=flat[off:off + 3],
+                      rotation=flat[off + 3:off + 12].reshape(3, 3),
+                      fov=flat[off + 12], resolution=camera.resolution)
+    return scene_g, camera_g

@@ -84,11 +84,17 @@ def render_image_sharded(camera, scene, mesh: Mesh, *, depth: int = 2,
 
 
 def make_loss_fn(camera, target, mesh: Mesh, *, depth: int = 2, aliasing: bool = True,
-                 compat: bool = True, axis: str = RAY_AXIS):
+                 compat: bool = True, axis: str = RAY_AXIS, soft: bool = False,
+                 tau: float = 0.05):
     """Build ``loss(scene) -> scalar`` where the pixel loss is computed shard-local
     and ``psum``-reduced over ICI; its gradient w.r.t. the replicated scene is
     all-reduced by the shard_map transpose (overlapping backward compute with the
-    collective is XLA's job once both live in one jitted computation)."""
+    collective is XLA's job once both live in one jitted computation).
+
+    ``soft=True`` renders each shard with the soft-visibility renderer
+    (ops/soft.py) — distributed silhouette-aware inverse rendering; the target
+    should come from the same renderer at the same ``tau``.
+    """
     w, h = camera.resolution
     rows_per = _shard_rows(w, mesh, axis)
     ys = jnp.arange(h, dtype=jnp.float32)
@@ -97,8 +103,17 @@ def make_loss_fn(camera, target, mesh: Mesh, *, depth: int = 2, aliasing: bool =
     def shard_fn(scene, target_shard):
         i = jax.lax.axis_index(axis)
         xs = jnp.arange(rows_per, dtype=jnp.float32) + i * rows_per
-        img = _render_block(xs, ys, camera, scene,
-                            depth=depth, aliasing=aliasing, compat=compat)
+        if soft:
+            from ..ops.soft import render_rays_soft
+            gx = xs[:, None] * jnp.ones_like(ys)[None, :]
+            gy = jnp.ones_like(xs)[:, None] * ys[None, :]
+            pix = jnp.stack([gx, gy], axis=-1)
+            d = camera.ray_directions(pix, compat=False)
+            o = jnp.broadcast_to(camera.ray_origin(), d.shape)
+            img = render_rays_soft(o, d, scene, tau=tau)
+        else:
+            img = _render_block(xs, ys, camera, scene,
+                                depth=depth, aliasing=aliasing, compat=compat)
         err = jnp.sum((img - target_shard) ** 2) / denom
         return jax.lax.psum(err, axis)
 

@@ -88,3 +88,26 @@ def test_pallas_train_step_converges():
     finally:
         rp.render_image_pallas, rb.scene_grads_pallas = orig_fwd, orig_bwd
     assert losses[-1] < losses[0] * 0.6, losses[::5]
+
+
+def test_bwd_camera_grads_match_autodiff(demo_scene):
+    """return_camera=True: position/rotation/fov cotangents vs jax.vjp."""
+    cam = rt.default_camera((24, 24))
+    target = rt.render_image(cam, demo_scene, depth=1, aliasing=False,
+                             compat=True) * 0.9
+    img, vjp_fn = jax.vjp(
+        lambda c, s: rt.render_image(c, s, depth=1, aliasing=False,
+                                     compat=True), cam, demo_scene)
+    g_img = 2.0 * (img - target) / img.size
+    gc_ref, _ = vjp_fn(g_img)
+    _, gc = scene_grads_pallas(cam, demo_scene, g_img, depth=1, compat=True,
+                               tile_w=8, tile_h=32, interpret=True,
+                               return_camera=True)
+    for a, b in [(gc.position, gc_ref.position),
+                 (gc.rotation, gc_ref.rotation)]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+        assert rel < 5e-3, rel
+    # fov moves every ray at once, so its gradient carries the most
+    # silhouette/grazing content — same a.e.-clamp discrepancy as geometry.
+    assert float(gc.fov) == pytest.approx(float(gc_ref.fov), rel=5e-2)

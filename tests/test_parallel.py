@@ -93,3 +93,26 @@ def test_inverse_render_sharded_decreases_loss(mesh):
                                      depth=1, mesh=mesh,
                                      trainable=("spheres.center",))
     assert losses[-1] < losses[0] * 0.8, losses[::8]
+
+
+def test_sharded_soft_loss_matches_single(mesh):
+    """Distributed soft-visibility loss == single-device soft loss (+ grads)."""
+    cam = rt.default_camera((16, 16))
+    scene = rt.default_scene()
+    target = rt.render_image_soft(cam, scene, tau=0.05)
+    target_sharded = jax.device_put(target, image_sharding(mesh))
+
+    import dataclasses
+    perturbed = dataclasses.replace(
+        scene, spheres=dataclasses.replace(scene.spheres,
+                                           center=scene.spheres.center + 0.03))
+
+    from python_ray_tracer_tpu import train
+    loss_single = train.soft_pixel_loss(cam, target, tau=0.05)
+    loss_sharded = make_loss_fn(cam, target_sharded, mesh, soft=True, tau=0.05)
+    l1, g1 = jax.value_and_grad(loss_single)(perturbed)
+    l2, g2 = jax.value_and_grad(loss_sharded)(perturbed)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(g1.spheres.center),
+                               np.asarray(g2.spheres.center), rtol=1e-3,
+                               atol=1e-7)
