@@ -24,8 +24,9 @@ hit with spheres-before-planes tie-break, unlimited-range shadow rays, 2e-4 acne
 biases, the AA G/B accumulation swap + store swap — see ops/render.py docstring).
 
 Differentiability: :func:`render_image_fast` wraps this forward in a
-``jax.custom_vjp`` whose backward is XLA's autodiff of the jnp reference path
-(ops/render.py) — pallas-speed forward, correct gradients.
+``jax.custom_vjp`` whose backward is the fused hand-derived adjoint kernel
+(render_bwd.py) for no-AA unrolled scenes — both passes at kernel speed — and
+XLA's autodiff of the jnp path otherwise.
 """
 from __future__ import annotations
 
@@ -623,8 +624,16 @@ def _fwd(camera, scene, depth, aliasing, compat):
 
 
 def _bwd(depth, aliasing, compat, res, g):
-    from ..render import render_image
     camera, scene = res
+    ns, npl = scene.spheres.count, scene.planes.count
+    if not aliasing and ns <= _UNROLL_LIMIT and npl <= _UNROLL_LIMIT:
+        # Fully fused backward (hand-derived adjoints incl. camera).
+        from .render_bwd import scene_grads_pallas
+        scene_g, cam_g = scene_grads_pallas(camera, scene, g, depth=depth,
+                                            compat=compat, return_camera=True)
+        return cam_g, scene_g
+    # AA or rolled scenes: XLA autodiff of the jnp path.
+    from ..render import render_image
     _, vjp = jax.vjp(lambda c, s: render_image(c, s, depth=depth,
                                                aliasing=aliasing, compat=compat),
                      camera, scene)
