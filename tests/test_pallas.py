@@ -83,15 +83,23 @@ def test_render_image_fast_grads_match_jnp(demo_scene):
 
     import jax.numpy as jnp
     with jax.disable_jit(False):
-        # interpret mode needs to be baked into the fwd call; rebuild via closure
+        # interpret mode needs to be baked into both kernel calls on CPU
         import python_ray_tracer_tpu.ops.pallas.render_pallas as rp
+        import python_ray_tracer_tpu.ops.pallas.render_bwd as rb
         orig = rp.render_image_pallas
+        orig_b = rb.scene_grads_pallas
         g_fast = None
         try:
-            rp.render_image_pallas = lambda c, s, **kw: orig(c, s, interpret=True, **kw)
+            rp.render_image_pallas = lambda c, s, **kw: orig(
+                c, s, interpret=True,
+                **{k: v for k, v in kw.items() if k != "interpret"})
+            rb.scene_grads_pallas = lambda c, s, g, **kw: orig_b(
+                c, s, g, interpret=True,
+                **{k: v for k, v in kw.items() if k != "interpret"})
             g_fast = jax.grad(loss_fast)(demo_scene)
         finally:
             rp.render_image_pallas = orig
+            rb.scene_grads_pallas = orig_b
     g_ref = jax.grad(loss_ref)(demo_scene)
     # The fast path's backward is now the fused adjoint kernel: geometry grads
     # differ from XLA autodiff at grazing pixels (a.e. clamp) by up to ~1%.
