@@ -32,6 +32,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--clean", action="store_true",
                    help="disable reference-quirk compat mode")
     p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp")
+    p.add_argument("--soft", type=float, default=0.0, metavar="TAU",
+                   help="render with the soft-visibility renderer at this tau")
     p.add_argument("--spheres", type=int, default=0,
                    help="random N-sphere scene instead of the demo scene")
     p.add_argument("--out", type=str, default="output/render.png")
@@ -54,7 +56,13 @@ def _build(args):
     return cfg, scene, cam
 
 
-def _render_fn(cfg):
+def _render_fn(cfg, soft_tau=0.0):
+    if soft_tau > 0.0:
+        from .ops.soft import render_image_soft
+
+        def fn(cam, scene):
+            return render_image_soft(cam, scene, tau=soft_tau)
+        return fn
     if cfg.backend == "pallas":
         from .ops.pallas.render_pallas import render_image_pallas
 
@@ -71,7 +79,7 @@ def _render_fn(cfg):
 
 def cmd_render(args) -> int:
     cfg, scene, cam = _build(args)
-    fn = _render_fn(cfg)
+    fn = _render_fn(cfg, soft_tau=args.soft)
     secs = time_fn(fn, cam, scene, warmup=1, iters=5)
     img = fn(cam, scene)
     n_rays = rays_per_image(cfg.width, cfg.height, depth=cfg.depth,

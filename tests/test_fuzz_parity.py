@@ -1,0 +1,57 @@
+"""Randomized scene fuzzing: jnp compat renderer vs the scalar oracle.
+
+A handful of fixed-seed random scenes at small resolutions — broadens oracle
+parity beyond the hand-picked configs (different object counts, light counts,
+material coefficients, camera poses). Oracle is scalar Python, so resolutions
+stay tiny.
+"""
+import numpy as np
+import pytest
+
+import python_ray_tracer_tpu as rt
+
+from . import oracle
+
+
+def _random_soa(rng, ns, nl):
+    spheres = np.zeros((7, ns))
+    for i in range(ns):
+        spheres[0:3, i] = [rng.uniform(1.5, 6.0), rng.uniform(-2.5, 2.5),
+                           rng.uniform(0.3, 2.5)]
+        spheres[3, i] = rng.uniform(0.25, 1.0)
+        spheres[4:7, i] = rng.integers(40, 256, 3)
+    lights = np.stack([[rng.uniform(0, 5), rng.uniform(-3, 3),
+                        rng.uniform(2, 6)] for _ in range(nl)]).T
+    planes = np.zeros((9, 1))
+    planes[0:3, 0] = [6, 0, 0]
+    planes[3:6, 0] = [0, 0, 1]
+    planes[6:9, 0] = [125, 125, 125]
+    return spheres, lights, planes
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_fuzz_scene_parity(seed):
+    rng = np.random.default_rng(seed)
+    ns = int(rng.integers(1, 5))
+    nl = int(rng.integers(1, 3))
+    soa = _random_soa(rng, ns, nl)
+    depth = int(rng.integers(0, 3))
+    amb = float(rng.uniform(0, 0.2))
+    lamb = float(rng.uniform(0.3, 0.9))
+    refl = float(rng.uniform(0.0, 0.5))
+    w = h = 16
+
+    fb_o = oracle.render(oracle.OracleScene(*soa), w, h, [-2, 0, 2], [0, -25, 0],
+                         amb=amb, lamb=lamb, refl=refl, depth=depth,
+                         aliasing=False)
+    scene = rt.Scene.from_soa(np.asarray(soa[0], np.float32),
+                              np.asarray(soa[1], np.float32),
+                              np.asarray(soa[2], np.float32),
+                              rt.Materials.build(amb, lamb, refl))
+    cam = rt.Camera.build((w, h), [-2, 0, 2], [0, -25, 0])
+    img = rt.render_image(cam, scene, depth=depth, aliasing=False, compat=True)
+    fb_j = np.asarray(rt.to_framebuffer(img)).astype(np.int32)
+
+    diff = np.abs(fb_j - fb_o.astype(np.int32))
+    assert (diff > 2).mean() <= 0.01, (seed, diff.max(), (diff > 2).mean())
+    assert (diff <= 1).mean() > 0.97, (seed, (diff <= 1).mean())
