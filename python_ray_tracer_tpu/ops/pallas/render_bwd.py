@@ -64,6 +64,17 @@ def _norm_adj(u, rn, ubar):
     return (rn * (bx - ux * dot), rn * (by - uy * dot), rn * (bz - uz * dot))
 
 
+def _fold_spheres(ns, body, carry):
+    """Fold ``body(j, carry) -> carry`` over the sphere axis: Python-unrolled for
+    small scenes, ``fori_loop`` (dynamic SMEM reads, f32 index compares, dynamic
+    SMEM gradient stores) for large ones."""
+    if ns <= _UNROLL_LIMIT:
+        for j in range(ns):
+            carry = body(j, carry)
+        return carry
+    return jax.lax.fori_loop(0, ns, body, carry)
+
+
 def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
     """Forward trace storing every residual the reverse sweep needs."""
     ox, oy, oz = o
@@ -79,7 +90,8 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
     oo = ox * ox + oy * oy + oz * oz
 
     # --- closest hit, tracking the winning object index -----------------------
-    for j in range(ns):
+    def _ch_body(j, carry):
+        t, hit_obj = carry
         cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
         cd = cx * dx + cy * dy + cz * dz
         oc = cx * ox + cy * oy + cz * oz
@@ -96,7 +108,10 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
             valid &= t_j < FAR
         closer = valid & (t_j < t)
         t = jnp.where(closer, t_j, t)
-        hit_obj = jnp.where(closer, jnp.float32(j), hit_obj)
+        jf = jnp.float32(j) if isinstance(j, int) else j.astype(jnp.float32)
+        hit_obj = jnp.where(closer, jf, hit_obj)
+        return t, hit_obj
+    t, hit_obj = _fold_spheres(ns, _ch_body, (t, hit_obj))
     for j in range(npl):
         nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
         den = dx * nx + dy * ny + dz * nz
@@ -122,14 +137,19 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
     ab = zeros
     qx, qy, qz = zeros, zeros, zeros  # sphere center or plane normal
     is_pl = zeros
-    for j in range(ns):
-        m = (hit_obj == j).astype(jnp.float32)
+    def _attr_body(j, carry):
+        ar, ag, ab, qx, qy, qz = carry
+        jf = jnp.float32(j) if isinstance(j, int) else j.astype(jnp.float32)
+        m = (hit_obj == jf).astype(jnp.float32)
         ar += m * sph[4, j]
         ag += m * sph[5, j]
         ab += m * sph[6, j]
         qx += m * sph[0, j]
         qy += m * sph[1, j]
         qz += m * sph[2, j]
+        return ar, ag, ab, qx, qy, qz
+    ar, ag, ab, qx, qy, qz = _fold_spheres(
+        ns, _attr_body, (ar, ag, ab, qx, qy, qz))
     for j in range(npl):
         m = (hit_obj == ns + j).astype(jnp.float32)
         ar += m * pln[6, j]
@@ -166,7 +186,7 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
         a_l = Lx * Lx + Ly * Ly + Lz * Lz
         od_l = Pbx * Lx + Pby * Ly + Pbz * Lz
         oo_l = Pbx * Pbx + Pby * Pby + Pbz * Pbz
-        for j in range(ns):
+        def _occ_body(j, occ):
             cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
             cd = cx * Lx + cy * Ly + cz * Lz
             oc = cx * Pbx + cy * Pby + cz * Pbz
@@ -180,7 +200,8 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
             valid = has & ((nn > 0.0) | (nf > 0.0))
             if compat:
                 valid &= t_j < FAR
-            occ = jnp.maximum(occ, valid.astype(jnp.float32))
+            return jnp.maximum(occ, valid.astype(jnp.float32))
+        occ = _fold_spheres(ns, _occ_body, occ)
         for j in range(npl):
             pnx, pny, pnz = pln[3, j], pln[4, j], pln[5, j]
             den = Lx * pnx + Ly * pny + Lz * pnz
@@ -222,7 +243,7 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
 
 
 def _bwd_trace(params, sph, ns, pln, npl, lts, nl, res, gbar, obar_next,
-               dbar_next, acc, *, compat):
+               dbar_next, acc, acc_sph, *, compat):
     """Reverse sweep of one trace.
 
     ``gbar``: (gr, gg, gb) cotangent on this trace's rgb output.
@@ -323,8 +344,11 @@ def _bwd_trace(params, sph, ns, pln, npl, lts, nl, res, gbar, obar_next,
     a = res["a"]
     od = ox * dx + oy * dy + oz * dz
     oo = ox * ox + oy * oy + oz * oz
-    for j in range(ns):
-        m = ((hit_obj == j) & res["alive"]).astype(jnp.float32)
+
+    def _sph_bwd(j, carry):
+        obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z = carry
+        jf = jnp.float32(j) if isinstance(j, int) else j.astype(jnp.float32)
+        m = ((hit_obj == jf) & res["alive"]).astype(jnp.float32)
         mt = m * tbar
         cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
         b = 2.0 * (od - (cx * dx + cy * dy + cz * dz))
@@ -357,13 +381,17 @@ def _bwd_trace(params, sph, ns, pln, npl, lts, nl, res, gbar, obar_next,
         ccz += -2.0 * (oz - cz) * cbar
         rbar = -2.0 * r * cbar
         # center also appears in the normal (masked by hit == j)
-        acc(("sph", j, 0), ccx + m * cbar_n[0])
-        acc(("sph", j, 1), ccy + m * cbar_n[1])
-        acc(("sph", j, 2), ccz + m * cbar_n[2])
-        acc(("sph", j, 3), rbar)
-        acc(("sph", j, 4), m * abar[0])
-        acc(("sph", j, 5), m * abar[1])
-        acc(("sph", j, 6), m * abar[2])
+        acc_sph(j, 0, ccx + m * cbar_n[0])
+        acc_sph(j, 1, ccy + m * cbar_n[1])
+        acc_sph(j, 2, ccz + m * cbar_n[2])
+        acc_sph(j, 3, rbar)
+        acc_sph(j, 4, m * abar[0])
+        acc_sph(j, 5, m * abar[1])
+        acc_sph(j, 6, m * abar[2])
+        return obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z
+
+    obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z = _fold_spheres(
+        ns, _sph_bwd, (obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z))
     for j in range(npl):
         m = ((hit_obj == ns + j) & res["alive"]).astype(jnp.float32)
         mt = m * tbar
@@ -437,14 +465,29 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat):
 
         @pl.when((i == 0) & (j == 0))
         def _zero():
-            for k in range(n_grads):
-                out_ref[k] = jnp.float32(0.0)
+            if n_grads <= 64:
+                for k in range(n_grads):
+                    out_ref[k] = jnp.float32(0.0)
+            else:
+                def zbody(k, _):
+                    out_ref[k] = jnp.float32(0.0)
+                    return 0
+                jax.lax.fori_loop(0, n_grads, zbody, 0)
 
         acc_vals = {}
 
         def acc(slot, vec):
             k = slots[slot]
             acc_vals[k] = acc_vals.get(k, 0.0) + vec
+
+        if ns <= _UNROLL_LIMIT:
+            def acc_sph(j, c, vec):
+                acc(("sph", j, c), vec)
+        else:
+            # Rolled scenes: per-object slots are dynamic — reduce to a scalar
+            # and accumulate straight into the SMEM output at a traced index.
+            def acc_sph(j, c, vec):
+                out_ref[j * 7 + c] += _vsum(vec)
 
         # --- recompute forward chain with residuals ---------------------------
         fx = (i * TW).astype(jnp.float32) + params[_P_X0]
@@ -512,7 +555,7 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat):
             w = tr["weight"]
             gbar = (w * gr_img, w * gg_img, w * gb_img)
             obar, dbar = _bwd_trace(params, sph, ns, pln, npl, lts, nl,
-                                    tr["res"], gbar, obar, dbar, acc,
+                                    tr["res"], gbar, obar, dbar, acc, acc_sph,
                                     compat=compat)
         # --- camera adjoints from the primary trace's (obar, dbar) ------------
         # position: origin is broadcast, so its cotangent is the lane sum.
@@ -554,8 +597,8 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     """
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
-    assert ns <= _UNROLL_LIMIT and npl <= _UNROLL_LIMIT, (
-        "fused backward supports unrolled scenes only; use XLA autodiff")
+    assert npl <= _UNROLL_LIMIT and nl <= _UNROLL_LIMIT, (
+        "fused backward needs unrolled plane/light counts")
     params = _pack_params(camera, scene, compat)
     sph = jnp.concatenate([
         scene.spheres.center.T.astype(jnp.float32),

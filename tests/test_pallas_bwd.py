@@ -111,3 +111,42 @@ def test_bwd_camera_grads_match_autodiff(demo_scene):
     # fov moves every ray at once, so its gradient carries the most
     # silhouette/grazing content — same a.e.-clamp discrepancy as geometry.
     assert float(gc.fov) == pytest.approx(float(gc_ref.fov), rel=5e-2)
+
+
+def test_bwd_rolled_matches_unrolled():
+    """>16-sphere scenes take fori_loops with dynamic SMEM gradient stores; the
+    rolled kernel must equal the force-unrolled kernel to machine precision.
+
+    (vs jax.grad, cluttered random scenes disagree on *geometry* grads at
+    grazing pixels — the implicit-function clamp bounds what XLA's sqrt-path
+    blows up — so kernel-vs-kernel is the right equivalence check here, plus
+    the shading-grad agreement below.)
+    """
+    import python_ray_tracer_tpu.ops.pallas.render_bwd as rb
+    scene = rt.random_scene(jax.random.key(3), n_spheres=18)
+    cam = rt.Camera.build((12, 12), [-6, 0, 3], [0, -20, 0])
+    img = rt.render_image(cam, scene, depth=0, aliasing=False, compat=True)
+    g_img = img * 1e-2 + 1e-4
+    saved = rb._UNROLL_LIMIT
+    try:
+        rb._UNROLL_LIMIT = 64
+        rb.scene_grads_pallas.clear_cache()
+        gU = rb.scene_grads_pallas(cam, scene, g_img, depth=0, compat=True,
+                                   tile_w=8, tile_h=16, interpret=True)
+        rb._UNROLL_LIMIT = 16
+        rb.scene_grads_pallas.clear_cache()
+        gR = rb.scene_grads_pallas(cam, scene, g_img, depth=0, compat=True,
+                                   tile_w=8, tile_h=16, interpret=True)
+    finally:
+        rb._UNROLL_LIMIT = saved
+        rb.scene_grads_pallas.clear_cache()
+    for a, b in zip(jax.tree_util.tree_leaves(gR), jax.tree_util.tree_leaves(gU)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    # shading-path grads still agree with XLA autodiff on the rolled scene
+    img2, vjp = jax.vjp(lambda s: rt.render_image(cam, s, depth=0,
+                                                  aliasing=False, compat=True),
+                        scene)
+    g_ref = vjp(g_img)[0]
+    assert float(gR.materials.lambert) == pytest.approx(
+        float(g_ref.materials.lambert), rel=1e-3)
