@@ -455,7 +455,8 @@ def grad_layout(ns, npl, nl):
     return slots, k + 1
 
 
-def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat):
+def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
+                     swap_xy=False):
     shape = (TW, TH)
     slots, n_grads = grad_layout(ns, npl, nl)
 
@@ -490,10 +491,15 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat):
                 out_ref[j * 7 + c] += _vsum(vec)
 
         # --- recompute forward chain with residuals ---------------------------
-        fx = (i * TW).astype(jnp.float32) + params[_P_X0]
-        fy = (j * TH).astype(jnp.float32)
-        gx = fx + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
-        gy = fy + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        fu = (i * TW).astype(jnp.float32)
+        fv = (j * TH).astype(jnp.float32)
+        if not swap_xy:
+            fu = fu + params[_P_X0]
+        else:
+            fv = fv + params[_P_X0]
+        su = fu + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+        sv = fv + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        gx, gy = (su, sv) if not swap_xy else (sv, su)
         pcx = params[_P_FOCAL]
         pcy = params[_P_Y0] + gx * params[_P_DY]
         pcz = params[_P_Z0] + gy * params[_P_DZ]
@@ -613,15 +619,24 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     lts = (scene.lights.position.T.astype(jnp.float32) if nl else
            jnp.zeros((3, 1), jnp.float32))
 
-    TW = min(tile_w, W)
+    def _lane_waste(n):
+        up = -(-n // 128) * 128
+        return (up - n) / n
+    swap_xy = _lane_waste(W) < _lane_waste(H)
+    U = H if swap_xy else W
+    V = W if swap_xy else H
+    TW = min(tile_w, U)
     TH = tile_h
     kernel, n_grads = _make_bwd_kernel(W=W, H=H, TW=TW, TH=TH, depth=depth,
-                                       ns=ns, npl=npl, nl=nl, compat=compat)
+                                       ns=ns, npl=npl, nl=nl, compat=compat,
+                                       swap_xy=swap_xy)
     g_chw = jnp.moveaxis(g_image.astype(jnp.float32), -1, 0)  # (3, W, H)
+    if swap_xy:
+        g_chw = jnp.transpose(g_chw, (0, 2, 1))               # (3, H, W)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     flat = pl.pallas_call(
         kernel,
-        grid=(pl.cdiv(W, TW), pl.cdiv(H, TH)),
+        grid=(pl.cdiv(U, TW), pl.cdiv(V, TH)),
         in_specs=[smem(), smem(), smem(), smem(),
                   pl.BlockSpec((3, TW, TH), lambda i, j: (0, i, j))],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -344,17 +344,20 @@ def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
     return r, g, b
 
 
-def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat):
-    """3x3-supersampled kernel with shared half-offset samples along x.
+def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
+                           swap_xy=False):
+    """3x3-supersampled kernel with shared half-offset samples.
 
     The reference's AA samples are midpoints between adjacent pixel locations
-    (kernels.py:43-50), so the sample at ``(x + 0.5, y)`` is identical for pixels
-    ``x`` and ``x+1``. Six sample grids per tile replace nine per-pixel samples:
-    centers C ``(TW, TH)``, x-halves XH ``(TW+1 in a TW+8 pad, TH)`` (shared
-    left/right), y-halves YT/YB ``(TW, TH)``, corner rows XYT/XYB ``(TW+1 pad,
-    TH)`` (each shared by two pixels) — 6.75/9 of the sample work, bit-identical
-    results. Sublane (+8) padding is cheap; lane padding would not be, so y
-    sharing is intentionally not attempted.
+    (kernels.py:43-50), so each half-offset sample along the *sublane* axis is
+    identical for two adjacent pixels. Six sample grids per tile replace nine
+    per-pixel samples: centers, a (+1-padded) shared half grid along the sublane
+    axis, two unshared half grids along the lane axis, and two shared corner
+    grids — 6.75/9 of the sample work, bit-identical results. Sublane (+8)
+    padding is cheap; lane padding is not, hence sharing only on sublanes.
+
+    ``swap_xy`` puts image y on sublanes and x on lanes — chosen when it wastes
+    fewer padded lanes (e.g. 1920x1080: W is a lane multiple, H is not).
     """
     shape = (TW, TH)
     shape_w = (TW + 8, TH)
@@ -362,33 +365,40 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat):
     def kernel(params, sph, pln, lts, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        fx = (i * TW).astype(jnp.float32) + params[_P_X0]
-        fy = (j * TH).astype(jnp.float32)
-        gx = fx + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
-        gy = fy + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
-        gxw = (fx - 0.5 +
+        # su: sublane-axis pixel coordinate; sv: lane-axis pixel coordinate.
+        fu = (i * TW).astype(jnp.float32)
+        fv = (j * TH).astype(jnp.float32)
+        if not swap_xy:
+            fu = fu + params[_P_X0]
+        else:
+            fv = fv + params[_P_X0]
+        su = fu + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+        sv = fv + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        suw = (fu - 0.5 +
                jax.lax.broadcasted_iota(jnp.int32, shape_w, 0).astype(jnp.float32))
-        gyw = fy + jax.lax.broadcasted_iota(jnp.int32, shape_w, 1).astype(jnp.float32)
+        svw = fv + jax.lax.broadcasted_iota(jnp.int32, shape_w, 1).astype(jnp.float32)
 
-        chain = lambda px, py, shp: _sample_chain(
-            params, sph, ns, pln, npl, lts, nl, px, py, depth=depth,
-            compat=compat, shape=shp)
+        def chain(u, v, shp):
+            px, py = (u, v) if not swap_xy else (v, u)
+            return _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py,
+                                 depth=depth, compat=compat, shape=shp)
 
-        C = chain(gx, gy, shape)
-        XH = chain(gxw, gyw, shape_w)
-        YT = chain(gx, gy - 0.5, shape)
-        YB = chain(gx, gy + 0.5, shape)
-        XYT = chain(gxw, gyw - 0.5, shape_w)
-        XYB = chain(gxw, gyw + 0.5, shape_w)
+        C = chain(su, sv, shape)
+        UH = chain(suw, svw, shape_w)          # shared su-halves
+        VT = chain(su, sv - 0.5, shape)
+        VB = chain(su, sv + 0.5, shape)
+        UVT = chain(suw, svw - 0.5, shape_w)   # shared corners
+        UVB = chain(suw, svw + 0.5, shape_w)
 
         def nsum(c):
-            return (XH[c][0:TW] + XH[c][1:TW + 1] +
-                    YT[c] + YB[c] +
-                    XYT[c][0:TW] + XYT[c][1:TW + 1] +
-                    XYB[c][0:TW] + XYB[c][1:TW + 1])
+            return (UH[c][0:TW] + UH[c][1:TW + 1] +
+                    VT[c] + VB[c] +
+                    UVT[c][0:TW] + UVT[c][1:TW + 1] +
+                    UVB[c][0:TW] + UVB[c][1:TW + 1])
 
         nr, ng, nb = nsum(0), nsum(1), nsum(2)
         pr, pg, pb = C
+        gx, gy = (su, sv) if not swap_xy else (sv, su)
         interior = ((gx >= 1.0) & (gx <= W - 2) & (gy >= 1.0) & (gy <= H - 2))
         inv9 = jnp.float32(1.0 / 9.0)
         if compat:
@@ -405,7 +415,7 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat):
 
 
 def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
-                 predicate_bounces):
+                 predicate_bounces, swap_xy=False):
     shape = (TW, TH)
 
     def kernel(params, sph, pln, lts, out_ref, *scratch):
@@ -415,11 +425,16 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
         j = pl.program_id(1)
         s = pl.program_id(2)
 
-        fx = (i * TW).astype(jnp.float32) + params[_P_X0]
-        fy = (j * TH).astype(jnp.float32)
+        fu = (i * TW).astype(jnp.float32)
+        fv = (j * TH).astype(jnp.float32)
+        if not swap_xy:
+            fu = fu + params[_P_X0]
+        else:
+            fv = fv + params[_P_X0]
         # iota must be integer-typed on TPU (Mosaic rejects float iota).
-        gx = fx + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
-        gy = fy + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        su = fu + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+        sv = fv + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        gx, gy = (su, sv) if not swap_xy else (sv, su)
         px = gx + params[_P_OFFS + 2 * s]
         py = gy + params[_P_OFFS + 2 * s + 1]
 
@@ -558,10 +573,18 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
     S = len(AA_OFFSETS) if aliasing else 1
-    TW = min(tile_w, W if local_width is None else local_width)
-    TH = tile_h
-
     W_out = W if local_width is None else local_width
+
+    # Layout choice: put the dimension that pads fewer lanes on the lane axis
+    # (e.g. 1080p: W=1920 is 15x128 exact, H=1080 pads to 1152 — swap).
+    def _lane_waste(n):
+        up = -(-n // 128) * 128
+        return (up - n) / n
+    swap_xy = _lane_waste(W_out) < _lane_waste(H)
+    U = H if swap_xy else W_out   # sublane-axis extent
+    V = W_out if swap_xy else H   # lane-axis extent
+    TW = min(tile_w, U)
+    TH = tile_h
     params = _pack_params(camera, scene, compat, x_offset)
     sph = jnp.concatenate([
         scene.spheres.center.T.astype(jnp.float32),
@@ -579,31 +602,35 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     if aliasing and aa_share:
         kernel = _make_kernel_aa_shared(W=W, H=H, TW=TW, TH=TH, depth=depth,
-                                        ns=ns, npl=npl, nl=nl, compat=compat)
+                                        ns=ns, npl=npl, nl=nl, compat=compat,
+                                        swap_xy=swap_xy)
         out = pl.pallas_call(
             kernel,
-            grid=(pl.cdiv(W_out, TW), pl.cdiv(H, TH)),
+            grid=(pl.cdiv(U, TW), pl.cdiv(V, TH)),
             in_specs=[smem(), smem(), smem(), smem()],
             out_specs=pl.BlockSpec((3, TW, TH), lambda i, j: (0, i, j)),
-            out_shape=jax.ShapeDtypeStruct((3, W_out, H), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((3, U, V), jnp.float32),
             interpret=interpret,
         )(params, sph, pln, lts)
-        return jnp.moveaxis(out, 0, -1)
+        return (jnp.transpose(out, (2, 1, 0)) if swap_xy
+                else jnp.moveaxis(out, 0, -1))
     predicate_bounces = not aliasing
     kernel = _make_kernel(W=W, H=H, TW=TW, TH=TH, S=S, depth=depth, ns=ns,
                           npl=npl, nl=nl, compat=compat, aliasing=aliasing,
-                          predicate_bounces=predicate_bounces)
-    grid = (pl.cdiv(W_out, TW), pl.cdiv(H, TH), S)
+                          predicate_bounces=predicate_bounces, swap_xy=swap_xy)
+    grid = (pl.cdiv(U, TW), pl.cdiv(V, TH), S)
     scratch = ([pltpu.VMEM((TW, TH), jnp.float32)] * 11) if (depth > 0 and predicate_bounces) else []
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[smem(), smem(), smem(), smem()],
         out_specs=pl.BlockSpec((3, TW, TH), lambda i, j, s: (0, i, j)),
-        out_shape=jax.ShapeDtypeStruct((3, W_out, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, U, V), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
     )(params, sph, pln, lts)
+    if swap_xy:
+        return jnp.transpose(out, (2, 1, 0))
     return jnp.moveaxis(out, 0, -1)
 
 
