@@ -42,8 +42,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
-                            _P_DZ, _P_AMB, _P_LAMB, _P_REFL, _P_X0,
-                            _pack_params, _UNROLL_LIMIT, FAR, BIAS, BIG, _rnorm)
+                            _P_DZ, _P_AMB, _P_LAMB, _P_REFL, _P_X0, _P_OFFS,
+                            AA_OFFSETS, _pack_params, _UNROLL_LIMIT, FAR, BIAS,
+                            BIG, _rnorm)
 
 _DEN_EPS = 1e-6   # grazing-hit clamp for implicit-function t adjoints
 
@@ -456,15 +457,21 @@ def grad_layout(ns, npl, nl):
 
 
 def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
-                     swap_xy=False):
+                     swap_xy=False, aliasing=False):
     shape = (TW, TH)
     slots, n_grads = grad_layout(ns, npl, nl)
+    S = len(AA_OFFSETS) if aliasing else 1
 
     def kernel(params, sph, pln, lts, g_ref, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
+        smp = pl.program_id(2) if aliasing else 0
 
-        @pl.when((i == 0) & (j == 0))
+        first = (i == 0) & (j == 0)
+        if aliasing:
+            first = first & (smp == 0)
+
+        @pl.when(first)
         def _zero():
             if n_grads <= 64:
                 for k in range(n_grads):
@@ -500,9 +507,14 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
         su = fu + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
         sv = fv + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
         gx, gy = (su, sv) if not swap_xy else (sv, su)
+        if aliasing:
+            px = gx + params[_P_OFFS + 2 * smp]
+            py = gy + params[_P_OFFS + 2 * smp + 1]
+        else:
+            px, py = gx, gy
         pcx = params[_P_FOCAL]
-        pcy = params[_P_Y0] + gx * params[_P_DY]
-        pcz = params[_P_Z0] + gy * params[_P_DZ]
+        pcy = params[_P_Y0] + px * params[_P_DY]
+        pcz = params[_P_Z0] + py * params[_P_DZ]
         R = params
         dx = R[_P_ROT + 0] * pcx + R[_P_ROT + 1] * pcy + R[_P_ROT + 2] * pcz
         dy = R[_P_ROT + 3] * pcx + R[_P_ROT + 4] * pcy + R[_P_ROT + 5] * pcz
@@ -539,7 +551,24 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
         g0 = jnp.where(inb, g_ref[0], 0.0)
         g1 = jnp.where(inb, g_ref[1], 0.0)
         g2 = jnp.where(inb, g_ref[2], 0.0)
-        if compat:
+        if aliasing:
+            # AA combine adjoint: interior pixels average 9 samples (1/9 each);
+            # border pixels take only the center sample. Under compat, the
+            # primary sample's channels land store-swapped while neighbor
+            # samples land unswapped (see ops/render.py docstring).
+            interior = ((gx >= 1.0) & (gx <= W - 2) & (gy >= 1.0) &
+                        (gy <= H - 2))
+            inv9 = jnp.float32(1.0 / 9.0)
+            is_primary = smp == 0
+            w_int = jnp.where(interior, inv9, jnp.where(is_primary, 1.0, 0.0))
+            if compat:
+                # primary: (r,b,g) mapping; neighbors: (r,g,b) mapping
+                gr_img = g0 * w_int
+                gg_img = jnp.where(is_primary, g2, g1) * w_int
+                gb_img = jnp.where(is_primary, g1, g2) * w_int
+            else:
+                gr_img, gg_img, gb_img = g0 * w_int, g1 * w_int, g2 * w_int
+        elif compat:
             gr_img, gg_img, gb_img = g0, g2, g1  # out = (r, b, g)
         else:
             gr_img, gg_img, gb_img = g0, g1, g2
@@ -591,10 +620,11 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
 
 @functools.partial(jax.jit, static_argnames=("depth", "compat", "tile_w",
                                              "tile_h", "interpret",
-                                             "return_camera"))
+                                             "return_camera", "aliasing"))
 def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                        compat: bool = True, tile_w: int = 32, tile_h: int = 128,
-                       interpret: bool = False, return_camera: bool = False):
+                       interpret: bool = False, return_camera: bool = False,
+                       aliasing: bool = False):
     """Fused backward: cotangent image ``(w, h, 3)`` -> scene-gradient pytree.
 
     Matches ``jax.vjp`` of the jnp path (``aliasing=False``). With
@@ -629,16 +659,21 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     TH = tile_h
     kernel, n_grads = _make_bwd_kernel(W=W, H=H, TW=TW, TH=TH, depth=depth,
                                        ns=ns, npl=npl, nl=nl, compat=compat,
-                                       swap_xy=swap_xy)
+                                       swap_xy=swap_xy, aliasing=aliasing)
     g_chw = jnp.moveaxis(g_image.astype(jnp.float32), -1, 0)  # (3, W, H)
     if swap_xy:
         g_chw = jnp.transpose(g_chw, (0, 2, 1))               # (3, H, W)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    if aliasing:
+        grid = (pl.cdiv(U, TW), pl.cdiv(V, TH), len(AA_OFFSETS))
+        g_spec = pl.BlockSpec((3, TW, TH), lambda i, j, s2: (0, i, j))
+    else:
+        grid = (pl.cdiv(U, TW), pl.cdiv(V, TH))
+        g_spec = pl.BlockSpec((3, TW, TH), lambda i, j: (0, i, j))
     flat = pl.pallas_call(
         kernel,
-        grid=(pl.cdiv(U, TW), pl.cdiv(V, TH)),
-        in_specs=[smem(), smem(), smem(), smem(),
-                  pl.BlockSpec((3, TW, TH), lambda i, j: (0, i, j))],
+        grid=grid,
+        in_specs=[smem(), smem(), smem(), smem(), g_spec],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n_grads,), jnp.float32),
         interpret=interpret,

@@ -72,25 +72,25 @@ def _mask_grads(grads: Scene, trainable: Optional[Sequence[str]]) -> Scene:
     return dataclasses.replace(grads, **updates) if updates else grads
 
 
-def pallas_value_and_grad(camera, target, *, depth: int = 2, compat: bool = True):
+def pallas_value_and_grad(camera, target, *, depth: int = 2, compat: bool = True,
+                          aliasing: bool = False):
     """``scene -> (loss, grads)`` built from the fused forward + fused backward
     Mosaic kernels (ops/pallas) — the speed-of-light training path.
 
-    MSE pixel loss, ``aliasing=False``; grads cover the full scene pytree (camera
-    cotangents are zero by design — see ops/pallas/render_bwd.py). Falls back to
-    XLA autodiff via :func:`pixel_loss` for rolled (>16-object) scenes.
+    MSE pixel loss; grads cover the full scene pytree (camera cotangents are not
+    applied here — see ops/pallas/render_bwd.py ``return_camera``).
     """
     from .ops.pallas.render_pallas import render_image_pallas
     from .ops.pallas.render_bwd import scene_grads_pallas
 
     def value_and_grad(scene):
-        img = render_image_pallas(camera, scene, depth=depth, aliasing=False,
+        img = render_image_pallas(camera, scene, depth=depth, aliasing=aliasing,
                                   compat=compat)
         diff = img - target
         loss = jnp.mean(diff ** 2)
         g_img = 2.0 * diff / diff.size
         grads = scene_grads_pallas(camera, scene, g_img, depth=depth,
-                                   compat=compat)
+                                   compat=compat, aliasing=aliasing)
         return loss, grads
 
     return value_and_grad
@@ -132,8 +132,9 @@ def fit_scene(init_scene: Scene, camera, target, *, steps: int = 200,
     """
     vg = None
     if backend == "pallas":
-        assert mesh is None and not aliasing
-        vg = pallas_value_and_grad(camera, target, depth=depth, compat=compat)
+        assert mesh is None
+        vg = pallas_value_and_grad(camera, target, depth=depth, compat=compat,
+                                   aliasing=aliasing)
         loss_fn = None
     elif mesh is not None:
         loss_fn = make_loss_fn(camera, target, mesh, depth=depth,

@@ -150,3 +150,24 @@ def test_bwd_rolled_matches_unrolled():
     g_ref = vjp(g_img)[0]
     assert float(gR.materials.lambert) == pytest.approx(
         float(g_ref.materials.lambert), rel=1e-3)
+
+
+def test_bwd_aliasing_matches_autodiff(demo_scene):
+    """AA mode: per-sample cotangent weights (interior 1/9, border center-only,
+    compat primary swap) reproduce jax.grad of the supersampled render."""
+    cam = rt.default_camera((24, 24))
+    target = rt.render_image(cam, demo_scene, depth=1, aliasing=True,
+                             compat=True) * 0.9
+    img, vjp = jax.vjp(lambda s: rt.render_image(cam, s, depth=1, aliasing=True,
+                                                 compat=True), demo_scene)
+    g_img = 2.0 * (img - target) / img.size
+    g_ref = vjp(g_img)[0]
+    g = scene_grads_pallas(cam, demo_scene, g_img, depth=1, compat=True,
+                           tile_w=8, tile_h=32, interpret=True, aliasing=True)
+    a, b = np.asarray(g.spheres.center), np.asarray(g_ref.spheres.center)
+    assert np.abs(a - b).max() / np.abs(b).max() < 5e-2
+    np.testing.assert_allclose(np.asarray(g.spheres.albedo),
+                               np.asarray(g_ref.spheres.albedo),
+                               rtol=1e-3, atol=1e-7)
+    assert float(g.materials.lambert) == pytest.approx(
+        float(g_ref.materials.lambert), rel=1e-3)
