@@ -82,6 +82,13 @@ def main() -> int:
         bwd_secs = time_fn(vg, scene, warmup=1, iters=10, best_of=3)
         log(f"fused fwd+bwd (depth2, no AA): {bwd_secs * 1e3:7.2f} ms  "
             f"{primary / bwd_secs / 1e6:8.1f} Mrays/s primary")
+        target_aa = rt.render_image_pallas(camera, scene, depth=2, aliasing=True,
+                                           compat=True)
+        vg_aa = jax.jit(train.pallas_value_and_grad(camera, target_aa, depth=2,
+                                                    aliasing=True))
+        aa_secs = time_fn(vg_aa, scene, warmup=1, iters=5, best_of=2)
+        log(f"fused fwd+bwd (depth2, 9xAA):  {aa_secs * 1e3:7.2f} ms  "
+            f"{primary / aa_secs / 1e6:8.1f} Mrays/s primary")
         loss_grad = jax.jit(jax.grad(
             lambda s: jnp.mean((rt.render_image(camera, s, depth=2,
                                                 aliasing=False, compat=True,
