@@ -104,7 +104,7 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
         num_near = -b - sq
         num_far = -b + sq
         t_j = jnp.where(num_near > 0.0, num_near, num_far) / (2.0 * a)
-        valid = has & ((num_near > 0.0) | (num_far > 0.0))
+        valid = has & (num_far > 0.0)  # far root >= near root always
         if compat:
             valid &= t_j < FAR
         closer = valid & (t_j < t)
@@ -198,7 +198,7 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
             sq = jnp.sqrt(jnp.where(has, disc, 0.0))
             nn, nf = -b - sq, -b + sq
             t_j = jnp.where(nn > 0.0, nn, nf) / (2.0 * a_l)
-            valid = has & ((nn > 0.0) | (nf > 0.0))
+            valid = has & (nf > 0.0)  # far root >= near root always
             if compat:
                 valid &= t_j < FAR
             return jnp.maximum(occ, valid.astype(jnp.float32))

@@ -95,7 +95,7 @@ def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
         num_near = -b - sq
         num_far = -b + sq
         t_j = jnp.where(num_near > 0.0, num_near, num_far) * inv2a
-        valid = has & ((num_near > 0.0) | (num_far > 0.0))
+        valid = has & (num_far > 0.0)  # far root >= near root always
         if compat:
             valid &= t_j < FAR
         return t_j, valid
@@ -172,7 +172,7 @@ def _any_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
         num_near = -b - sq
         num_far = -b + sq
         t_j = jnp.where(num_near > 0.0, num_near, num_far) * inv2a
-        valid = has & ((num_near > 0.0) | (num_far > 0.0))
+        valid = has & (num_far > 0.0)  # far root >= near root always
         if compat:
             valid &= t_j < FAR
         return jnp.maximum(occ, valid.astype(jnp.float32))
@@ -240,7 +240,7 @@ def _any_hit_multi(sph, ns, pln, npl, ox, oy, oz, dirs, *, compat, shape):
             num_near = -b - sq
             num_far = -b + sq
             t_j = jnp.where(num_near > 0.0, num_near, num_far) * inv2a
-            valid = has & ((num_near > 0.0) | (num_far > 0.0))
+            valid = has & (num_far > 0.0)  # far root >= near root always
             if compat:
                 valid &= t_j < FAR
             occ = jnp.maximum(occ, valid.astype(jnp.float32))
