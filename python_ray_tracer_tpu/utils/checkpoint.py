@@ -2,7 +2,9 @@
 
 The reference persists nothing but the final PNG (main.py:53). The inverse-rendering
 loop (BASELINE configs[3]) needs resumable state: any pytree (scene, optimizer state)
-round-trips through a flat ``.npz`` keyed by its flattened leaf paths.
+round-trips through a flat ``.npz`` keyed by its flattened **leaf paths** — a
+reordered or extended pytree fails loudly on load instead of silently loading
+positionally-matched values (``KeyPath`` names are the contract, not leaf order).
 """
 from __future__ import annotations
 
@@ -10,17 +12,38 @@ import jax
 import numpy as np
 
 
+def _path_keys(tree):
+    """Flatten ``tree`` with path strings as stable npz keys."""
+    leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    keys = [jax.tree_util.keystr(path) or "<root>" for path, _ in leaves_with_paths]
+    leaves = [leaf for _, leaf in leaves_with_paths]
+    return keys, leaves, treedef
+
+
 def save_pytree(path: str, tree) -> None:
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    np.savez(path, **arrays)
+    keys, leaves, _ = _path_keys(tree)
+    assert len(set(keys)) == len(keys), "duplicate leaf paths in pytree"
+    np.savez(path, **{k: np.asarray(x) for k, x in zip(keys, leaves)})
 
 
 def load_pytree(path: str, like):
-    """Load leaves saved by :func:`save_pytree` into the structure of ``like``."""
+    """Load leaves saved by :func:`save_pytree` into the structure of ``like``.
+
+    Every leaf path of ``like`` must be present in the checkpoint and vice versa;
+    a mismatch (renamed field, extra/missing leaf) raises with the offending paths.
+    """
     data = np.load(path)
-    leaves, treedef = jax.tree_util.tree_flatten(like)
-    assert len(leaves) == len(data.files), (
-        f"checkpoint has {len(data.files)} leaves, template has {len(leaves)}")
-    new_leaves = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+    keys, _, treedef = _path_keys(like)
+    saved = set(data.files)
+    want = set(keys)
+    if saved != want:
+        missing = sorted(want - saved)
+        extra = sorted(saved - want)
+        if extra == [f"leaf_{i}" for i in range(len(extra))] and not (want & saved):
+            raise ValueError(
+                "checkpoint uses the legacy positional leaf_<i> format; re-save it "
+                "with the current save_pytree (path-keyed) to load it")
+        raise ValueError(
+            f"checkpoint/template leaf-path mismatch: missing={missing} extra={extra}")
+    new_leaves = [jax.numpy.asarray(data[k]) for k in keys]
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

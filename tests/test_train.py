@@ -55,6 +55,30 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(a, b)
 
 
+def test_checkpoint_path_mismatch_raises(tmp_path):
+    """Path-keyed format: loading into a different structure fails loudly
+    instead of silently filling positionally-matched leaves (VERDICT r1 #9)."""
+    import pytest
+    scene = _two_sphere_scene()
+    path = os.path.join(tmp_path, "scene.npz")
+    rt.save_pytree(path, scene)
+    wrong = {"a": np.zeros(3), "b": np.zeros(3)}
+    with pytest.raises(ValueError, match="leaf-path mismatch"):
+        rt.load_pytree(path, wrong)
+    # npz keys are the actual tree paths, not positional leaf_<i> names
+    keys = np.load(path).files
+    assert not any(k.startswith("leaf_") for k in keys), keys
+    assert any("spheres" in k for k in keys), keys
+
+
+def test_checkpoint_legacy_positional_rejected(tmp_path):
+    import pytest
+    path = os.path.join(tmp_path, "old.npz")
+    np.savez(path, leaf_0=np.zeros(3), leaf_1=np.ones(3))
+    with pytest.raises(ValueError, match="legacy positional"):
+        rt.load_pytree(path, {"x": np.zeros(3), "y": np.zeros(3)})
+
+
 def test_checkpoint_resume_training(tmp_path):
     """Save mid-optimization, reload, and continue — losses keep decreasing."""
     cam = rt.default_camera((16, 16))
