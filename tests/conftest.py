@@ -29,6 +29,26 @@ import pytest
 import python_ray_tracer_tpu as rt
 
 
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked slow (full suite; ~15 min on 4 cores)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: >45 s on the 4-core CI host; excluded by default, "
+        "run with --runslow (or RT_FULL_TESTS=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RT_FULL_TESTS"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow test: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture(scope="session")
 def demo_scene():
     return rt.default_scene()

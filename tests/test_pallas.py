@@ -43,6 +43,7 @@ def test_pallas_matches_jnp(demo_scene, depth, aliasing, compat):
     _compare(cam, demo_scene, depth=depth, aliasing=aliasing, compat=compat)
 
 
+@pytest.mark.slow
 def test_pallas_aa_shared_samples(demo_scene):
     """Shared half-offset AA samples == per-pixel samples (bit-identical math)."""
     cam = rt.default_camera((32, 32))
@@ -71,6 +72,7 @@ def test_pallas_no_planes_no_lights():
     _compare(cam, scene, depth=1, aliasing=False, compat=True)
 
 
+@pytest.mark.slow
 def test_render_image_fast_grads_match_jnp(demo_scene):
     """custom_vjp: pallas forward, jnp backward — grads equal the pure jnp grads."""
     cam = rt.default_camera((16, 16))

@@ -24,7 +24,10 @@ def _grads(cam, scene, depth, wh_target_scale=0.9):
     return g_ker, g_ref
 
 
-@pytest.mark.parametrize("wh,depth", [(24, 1), (32, 2)])
+@pytest.mark.parametrize("wh,depth", [
+    (24, 1),
+    pytest.param(32, 2, marks=pytest.mark.slow),
+])
 def test_bwd_matches_autodiff(demo_scene, wh, depth):
     cam = rt.default_camera((wh, wh))
     g_ker, g_ref = _grads(cam, demo_scene, depth)
@@ -90,6 +93,7 @@ def test_pallas_train_step_converges():
     assert losses[-1] < losses[0] * 0.6, losses[::5]
 
 
+@pytest.mark.slow
 def test_bwd_camera_grads_match_autodiff(demo_scene):
     """return_camera=True: position/rotation/fov cotangents vs jax.vjp."""
     cam = rt.default_camera((24, 24))
@@ -113,6 +117,7 @@ def test_bwd_camera_grads_match_autodiff(demo_scene):
     assert float(gc.fov) == pytest.approx(float(gc_ref.fov), rel=5e-2)
 
 
+@pytest.mark.slow
 def test_bwd_rolled_matches_unrolled():
     """>16-sphere scenes take fori_loops with dynamic SMEM gradient stores; the
     rolled kernel must equal the force-unrolled kernel to machine precision.
@@ -152,6 +157,7 @@ def test_bwd_rolled_matches_unrolled():
         float(g_ref.materials.lambert), rel=1e-3)
 
 
+@pytest.mark.slow
 def test_bwd_aliasing_matches_autodiff(demo_scene):
     """AA mode: per-sample cotangent weights (interior 1/9, border center-only,
     compat primary swap) reproduce jax.grad of the supersampled render."""

@@ -63,6 +63,7 @@ def test_gather_framebuffer_all_gather_assembly(mesh, demo_scene):
     np.testing.assert_allclose(gather_framebuffer(single), single)
 
 
+@pytest.mark.slow
 def test_sharded_loss_and_grads_match_single(mesh, demo_scene):
     """psum'd sharded loss + all-reduced scene grads == single-device values."""
     cam = rt.default_camera((16, 16))
@@ -121,6 +122,7 @@ def test_inverse_render_sharded_decreases_loss(mesh):
     assert losses[-1] < losses[0] * 0.8, losses[::8]
 
 
+@pytest.mark.slow
 def test_sharded_soft_loss_matches_single(mesh):
     """Distributed soft-visibility loss == single-device soft loss (+ grads)."""
     cam = rt.default_camera((16, 16))
