@@ -55,8 +55,9 @@ _P_ROT = 3         # 9: rotation, row-major
 _P_FOCAL = 12
 _P_Y0, _P_DY, _P_Z0, _P_DZ = 13, 14, 15, 16
 _P_AMB, _P_LAMB, _P_REFL = 17, 18, 19
-_P_X0 = 20         # global x index of this shard's first column (ray-DP sharding)
-_P_OFFS = 21       # 2*S: AA offsets
+_P_SPEC, _P_SHIN = 20, 21   # Phong specular/shininess (clean mode only)
+_P_X0 = 22         # global x index of this shard's first column (ray-DP sharding)
+_P_OFFS = 23       # 2*S: AA offsets
 _N_PARAMS = _P_OFFS + 2 * len(AA_OFFSETS)
 
 
@@ -73,7 +74,10 @@ def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
     reference trace.py:22-39.
     """
     zeros = jnp.zeros(shape, jnp.float32)
-    t = jnp.full(shape, BIG, jnp.float32)
+    # compat far clip (999.0, reference trace.py:17) is enforced FOR FREE by the
+    # strict `t_j < t` winner test when t starts at FAR — no per-object compare.
+    t_init = FAR if compat else BIG
+    t = jnp.full(shape, t_init, jnp.float32)
     ar, ag, ab = zeros, zeros, zeros
     qx, qy, qz = zeros, zeros, zeros
     is_pl = zeros  # f32 mask: Mosaic dislikes i1 carry vectors
@@ -96,8 +100,6 @@ def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
         num_far = -b + sq
         t_j = jnp.where(num_near > 0.0, num_near, num_far) * inv2a
         valid = has & (num_far > 0.0)  # far root >= near root always
-        if compat:
-            valid &= t_j < FAR
         return t_j, valid
 
     def plane_t(px0, py0, pz0, nx, ny, nz):
@@ -107,8 +109,6 @@ def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
         t_j = num / den_safe
         eps = 1e-3 if compat else 1e-8
         valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
-        if compat:
-            valid &= t_j < FAR
         return t_j, valid
 
     def upd(state, t_j, valid, col, q, plane_flag):
@@ -267,7 +267,7 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
     lamb = params[_P_LAMB]
     t, ar, ag, ab, qx, qy, qz, is_pl = _closest_hit(
         sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, compat=compat, shape=shape)
-    alive = t < BIG * 0.5
+    alive = t < (FAR if compat else BIG * 0.5)
     ts = jnp.where(alive, t, 0.0)
     Px, Py, Pz = ox + ts * dx, oy + ts * dy, oz + ts * dz
     # Normal: plane -> q holds the normal; sphere -> q holds the center.
@@ -280,6 +280,13 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
 
     r, g, b = amb * ar, amb * ag, amb * ab
     Px, Py, Pz = Px + BIAS * nx, Py + BIAS * ny, Pz + BIAS * nz
+
+    # Mirror reflection dir (hoisted above the light loop: clean-mode Phong
+    # evaluates L.R per light; values identical either way).
+    ddn = dx * nx + dy * ny + dz * nz
+    rx, ry, rz = dx - 2.0 * ddn * nx, dy - 2.0 * ddn * ny, dz - 2.0 * ddn * nz
+    rn = _rnorm(rx, ry, rz)
+    rx, ry, rz = rx * rn, ry * rn, rz * rn
 
     if nl:
         dirs = []
@@ -294,15 +301,25 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
             occs = [_any_hit(sph, ns, pln, npl, Px, Py, Pz, lx, ly, lz,
                              compat=compat, shape=shape)
                     for (lx, ly, lz) in dirs]
+        spec_sum = None
         for (lx, ly, lz), occ in zip(dirs, occs):
             lam = lamb * (lx * nx + ly * ny + lz * nz)
             lam = jnp.where((occ < 0.5) & (lam > 0.0), lam, 0.0)
             r, g, b = r + lam * ar, g + lam * ag, b + lam * ab
+            if not compat:
+                # Phong highlight (clean-mode extension == ops/shade.py:101-108;
+                # the reference has no specular, SURVEY §2 comp. 9). pow via
+                # masked exp/log: Mosaic-safe and NaN-free at sdot == 0.
+                sdot = lx * rx + ly * ry + lz * rz
+                smask = (occ < 0.5) & (sdot > 0.0)
+                s_safe = jnp.where(smask, sdot, 1.0)
+                p = jnp.where(smask,
+                              jnp.exp(params[_P_SHIN] * jnp.log(s_safe)), 0.0)
+                spec_sum = p if spec_sum is None else spec_sum + p
+        if not compat and spec_sum is not None:
+            phong = params[_P_SPEC] * spec_sum
+            r, g, b = r + phong, g + phong, b + phong
 
-    ddn = dx * nx + dy * ny + dz * nz
-    rx, ry, rz = dx - 2.0 * ddn * nx, dy - 2.0 * ddn * ny, dz - 2.0 * ddn * nz
-    rn = _rnorm(rx, ry, rz)
-    rx, ry, rz = rx * rn, ry * rn, rz * rn
     Px, Py, Pz = Px + BIAS * rx, Py + BIAS * ry, Pz + BIAS * rz
 
     zero = jnp.zeros(shape, jnp.float32)
@@ -549,7 +566,9 @@ def _pack_params(camera, scene, compat, x_offset=0.0):
         camera.rotation.astype(jnp.float32).reshape(-1),
         jnp.stack([focal, y0, dy, z0, dz]),
         jnp.stack([m.ambient.astype(jnp.float32), m.lambert.astype(jnp.float32),
-                   m.reflection.astype(jnp.float32)]),
+                   m.reflection.astype(jnp.float32),
+                   m.specular.astype(jnp.float32),
+                   m.shininess.astype(jnp.float32)]),
         jnp.asarray(x_offset, jnp.float32)[None],
         offs,
     ])
@@ -559,7 +578,7 @@ def _pack_params(camera, scene, compat, x_offset=0.0):
                                              "tile_w", "tile_h", "interpret",
                                              "local_width", "aa_share"))
 def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
-                        compat: bool = True, tile_w: int = 32, tile_h: int = 128,
+                        compat: bool = True, tile_w: int = 40, tile_h: int = 128,
                         interpret: bool = False, x_offset=0.0,
                         local_width: int | None = None,
                         aa_share: bool = True) -> jnp.ndarray:

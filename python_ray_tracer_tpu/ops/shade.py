@@ -101,10 +101,14 @@ def trace_once(ray_o, ray_d, scene, *, compat: bool = True) -> TraceState:
         if not compat:
             # Phong specular highlight (clean-mode extension; the reference has no
             # specular term — SURVEY §2 comp. 9). White highlight, shadow-masked.
+            # pow via double-where masked exp/log so autodiff w.r.t. shininess is
+            # NaN-free on masked lanes (0**s * log(0) would poison the grad).
             R = reflect(ray_d, N)
             spec = jnp.sum(L * R[..., None, :], axis=-1)
-            spec = jnp.where(~occluded & (spec > 0.0), spec, 0.0)
-            phong = m.specular * jnp.sum(spec ** m.shininess, axis=-1)
+            smask = ~occluded & (spec > 0.0)
+            s_safe = jnp.where(smask, spec, 1.0)
+            p = jnp.where(smask, jnp.exp(m.shininess * jnp.log(s_safe)), 0.0)
+            phong = m.specular * jnp.sum(p, axis=-1)
             rgb = rgb + phong[..., None]
 
     # Mirror reflection direction + acne bias along it (trace.py:104-110).

@@ -50,6 +50,24 @@ def test_pallas_aa_shared_samples(demo_scene):
     _compare(cam, demo_scene, depth=1, aliasing=True, compat=True, aa_share=True)
 
 
+def test_pallas_clean_specular(demo_scene):
+    """Clean-mode Phong specular in the fused kernel == jnp path with
+    specular > 0 (VERDICT r1 #4: the old kernel silently dropped the term —
+    the specular=0 clean test above cannot see that)."""
+    cam = rt.default_camera((32, 32))
+    scene = dataclasses.replace(
+        demo_scene, materials=rt.Materials.build(specular=0.8, shininess=16.0))
+    assert float(scene.materials.specular) > 0.0
+    _compare(cam, scene, depth=2, aliasing=False, compat=False)
+    # and prove it actually shades: specular image != specular-free image
+    base = np.asarray(rt.render_image(cam, demo_scene, depth=2, aliasing=False,
+                                      compat=False))
+    spec = np.asarray(render_image_pallas(cam, scene, depth=2, aliasing=False,
+                                          compat=False, tile_w=8, tile_h=32,
+                                          interpret=True))
+    assert np.abs(spec - base).max() > 0.05
+
+
 def test_pallas_nonsquare_partial_tiles(demo_scene):
     """Resolution not divisible by the tile: partial blocks must mask correctly."""
     cam = rt.Camera.build((40, 24), [-2, 0, 2], [0, -30, 0])
