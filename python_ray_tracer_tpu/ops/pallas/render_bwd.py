@@ -22,14 +22,15 @@ Design:
 
 Scope (fall back to XLA autodiff otherwise — see ``scene_grads``):
   * gradients w.r.t. the scene pytree (sphere center/radius/albedo, plane
-    origin/normal/albedo, light positions, ambient/lambert/reflection);
-    camera gradients intentionally not emitted;
-  * ``aliasing=False`` (training renders don't supersample), any static depth;
-  * unrolled scenes (<= 16 spheres/planes).
+    origin/normal/albedo, light positions, ambient/lambert/reflection, and in
+    clean mode Phong specular/shininess) plus, via ``return_camera=True``, the
+    camera (position/rotation/fov);
+  * no-AA or 9x-AA (per-sample grid axis), any static depth;
+  * unrolled plane/light counts (<= 16); spheres may be rolled (any count).
 
 Gradient layout (flat f32 vector): ``[spheres (7*Ns: cx,cy,cz,r,ar,ag,ab)...,
 planes (9*Np: ox,oy,oz,nx,ny,nz,ar,ag,ab)..., lights (3*Nl)..., amb, lamb,
-refl]``.
+refl, spec, shin, cam_pos (3), rot (9), fov]``.
 """
 from __future__ import annotations
 
@@ -42,7 +43,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
-                            _P_DZ, _P_AMB, _P_LAMB, _P_REFL, _P_X0, _P_OFFS,
+                            _P_DZ, _P_AMB, _P_LAMB, _P_REFL, _P_SPEC, _P_SHIN,
+                            _P_X0, _P_OFFS,
                             AA_OFFSETS, _pack_params, _UNROLL_LIMIT, FAR, BIAS,
                             BIG, _rnorm)
 
@@ -174,6 +176,17 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
 
     Pbx, Pby, Pbz = Px + BIAS * nx, Py + BIAS * ny, Pz + BIAS * nz
 
+    # --- reflection direction (hoisted: clean-mode Phong needs L.R) -----------
+    ddn = dx * nx + dy * ny + dz * nz
+    wxr, wyr, wzr = dx - 2.0 * ddn * nx, dy - 2.0 * ddn * ny, dz - 2.0 * ddn * nz
+    wwr = wxr * wxr + wyr * wyr + wzr * wzr
+    rrn = jax.lax.rsqrt(jnp.where(wwr <= 1e-20, 1.0, wwr))
+    Rx, Ry, Rz = wxr * rrn, wyr * rrn, wzr * rrn
+
+    has_spec = (not compat) and nl > 0
+    shin = params[_P_SHIN]
+    spec_sum = zeros
+
     # --- lights: dirs, occlusion (no grad), lambert masks ---------------------
     lam_sum = zeros
     light_res = []
@@ -218,20 +231,31 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
         ldotn = Lx * nx + Ly * ny + Lz * nz
         m_l = ((occ < 0.5) & (ldotn > 0.0)).astype(jnp.float32)
         lam_sum = lam_sum + m_l * ldotn
-        light_res.append((Lx, Ly, Lz, lrn, m_l, ldotn))
+        if has_spec:
+            # Phong residuals: p = sdot**shin via masked exp/log (== forward
+            # kernel and ops/shade.py — NaN-free at sdot == 0).
+            sdot = Lx * Rx + Ly * Ry + Lz * Rz
+            smask = (occ < 0.5) & (sdot > 0.0)
+            s_safe = jnp.where(smask, sdot, 1.0)
+            logs = jnp.log(s_safe)
+            p_l = jnp.where(smask, jnp.exp(shin * logs), 0.0)
+            spec_sum = spec_sum + p_l
+            light_res.append((Lx, Ly, Lz, lrn, m_l, ldotn, s_safe, logs, p_l))
+        else:
+            light_res.append((Lx, Ly, Lz, lrn, m_l, ldotn, None, None, None))
 
     shade = amb + lamb * lam_sum
     alive_f = alive.astype(jnp.float32)
-    r_out = alive_f * shade * ar
-    g_out = alive_f * shade * ag
-    b_out = alive_f * shade * ab
+    if has_spec:
+        spec_term = params[_P_SPEC] * spec_sum
+        r_out = alive_f * (shade * ar + spec_term)
+        g_out = alive_f * (shade * ag + spec_term)
+        b_out = alive_f * (shade * ab + spec_term)
+    else:
+        r_out = alive_f * shade * ar
+        g_out = alive_f * shade * ag
+        b_out = alive_f * shade * ab
 
-    # --- reflection direction -------------------------------------------------
-    ddn = dx * nx + dy * ny + dz * nz
-    wxr, wyr, wzr = dx - 2.0 * ddn * nx, dy - 2.0 * ddn * ny, dz - 2.0 * ddn * nz
-    wwr = wxr * wxr + wyr * wyr + wzr * wzr
-    rrn = jax.lax.rsqrt(jnp.where(wwr <= 1e-20, 1.0, wwr))
-    Rx, Ry, Rz = wxr * rrn, wyr * rrn, wzr * rrn
     o_next = (Pbx + BIAS * Rx, Pby + BIAS * Ry, Pbz + BIAS * Rz)
 
     res = dict(o=(ox, oy, oz), d=(dx, dy, dz), a=a, t=t, hit_obj=hit_obj,
@@ -239,7 +263,8 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
                q=(qx, qy, qz), plane_hit=plane_hit, v=(vx, vy, vz), srn=srn,
                n=(nx, ny, nz), Pb=(Pbx, Pby, Pbz), lights=light_res,
                lam_sum=lam_sum, albedo=(ar, ag, ab), shade=shade, ddn=ddn,
-               w_refl=(wxr, wyr, wzr), rrn=rrn, R=(Rx, Ry, Rz))
+               w_refl=(wxr, wyr, wzr), rrn=rrn, R=(Rx, Ry, Rz),
+               spec_sum=spec_sum)
     return (r_out, g_out, b_out), o_next, (Rx, Ry, Rz), alive, res
 
 
@@ -267,7 +292,7 @@ def _bwd_trace(params, sph, ns, pln, npl, lts, nl, res, gbar, obar_next,
     hit_obj = res["hit_obj"]
     t = jnp.where(res["alive"], res["t"], 0.0)
 
-    # rgb = alive * shade * albedo
+    # rgb = alive * (shade * albedo + specular * spec_sum)
     gdota = gr * ar + gg * ag + gb * ab           # (g . A)
     shade_bar = alive_f * gdota
     abar = (alive_f * shade * gr, alive_f * shade * gg, alive_f * shade * gb)
@@ -277,39 +302,68 @@ def _bwd_trace(params, sph, ns, pln, npl, lts, nl, res, gbar, obar_next,
     acc("lamb", shade_bar * res["lam_sum"])
     lam_sum_bar = shade_bar * lamb
 
+    has_spec = (not compat) and nl > 0
+    if has_spec:
+        specular = params[_P_SPEC]
+        shin = params[_P_SHIN]
+        gsum = gr + gg + gb     # white highlight adds to every channel
+        spec_sum_bar = alive_f * specular * gsum
+        acc("spec", alive_f * gsum * res["spec_sum"])
+        shin_bar = jnp.zeros_like(gr)
+
     # reflection direction / next-bounce chain:
-    #   o_next = Pb + BIAS*R ; d_next = R
+    #   o_next = Pb + BIAS*R ; d_next = R  (+ clean-mode Phong: L_l . R)
     onx, ony, onz = obar_next
-    Rbar = (BIAS * onx + dbar_next[0], BIAS * ony + dbar_next[1],
-            BIAS * onz + dbar_next[2])
+    Rbar_x = BIAS * onx + dbar_next[0]
+    Rbar_y = BIAS * ony + dbar_next[1]
+    Rbar_z = BIAS * onz + dbar_next[2]
     Pb_bar_x, Pb_bar_y, Pb_bar_z = onx, ony, onz
 
-    # R = normalize(w), w = d - 2 (d.n) n
-    wbx, wby, wbz = _norm_adj(res["R"], res["rrn"], Rbar)
-    ndotwb = nx * wbx + ny * wby + nz * wbz
-    ddn = res["ddn"]
-    dbar_x = wbx - 2.0 * ndotwb * nx
-    dbar_y = wby - 2.0 * ndotwb * ny
-    dbar_z = wbz - 2.0 * ndotwb * nz
-    nbar_x = -2.0 * (ndotwb * dx + ddn * wbx)
-    nbar_y = -2.0 * (ndotwb * dy + ddn * wby)
-    nbar_z = -2.0 * (ndotwb * dz + ddn * wbz)
-
-    # lights: lam_sum = sum_l m_l (L_l . n); L = normalize(lpos - Pb)
+    # lights first (they contribute to Rbar through the Phong term):
+    # lam_sum = sum_l m_l (L_l . n); spec_sum = sum_l p_l; L = normalize(lpos - Pb)
+    Rux, Ruy, Ruz = res["R"]
+    light_nbar_x = jnp.zeros_like(gr)
+    light_nbar_y = jnp.zeros_like(gr)
+    light_nbar_z = jnp.zeros_like(gr)
     for l in range(nl):
-        Lx, Ly, Lz, lrn, m_l, ldotn = res["lights"][l]
+        Lx, Ly, Lz, lrn, m_l, ldotn, s_safe, logs, p_l = res["lights"][l]
         chi = lam_sum_bar * m_l
-        Lbar = (chi * nx, chi * ny, chi * nz)
-        nbar_x += chi * Lx
-        nbar_y += chi * Ly
-        nbar_z += chi * Lz
-        vbx, vby, vbz = _norm_adj((Lx, Ly, Lz), lrn, Lbar)
+        Lbar_x, Lbar_y, Lbar_z = chi * nx, chi * ny, chi * nz
+        light_nbar_x += chi * Lx
+        light_nbar_y += chi * Ly
+        light_nbar_z += chi * Lz
+        if has_spec:
+            # p = sdot**shin (masked); dp/dsdot = shin * p / sdot, 0 off-mask
+            # (p_l is already 0 there and s_safe is 1).
+            sdot_bar = spec_sum_bar * shin * p_l / s_safe
+            Lbar_x += sdot_bar * Rux
+            Lbar_y += sdot_bar * Ruy
+            Lbar_z += sdot_bar * Ruz
+            Rbar_x += sdot_bar * Lx
+            Rbar_y += sdot_bar * Ly
+            Rbar_z += sdot_bar * Lz
+            shin_bar += spec_sum_bar * p_l * logs
+        vbx, vby, vbz = _norm_adj((Lx, Ly, Lz), lrn,
+                                  (Lbar_x, Lbar_y, Lbar_z))
         acc(("light", l, 0), vbx)
         acc(("light", l, 1), vby)
         acc(("light", l, 2), vbz)
         Pb_bar_x -= vbx
         Pb_bar_y -= vby
         Pb_bar_z -= vbz
+    if has_spec:
+        acc("shin", shin_bar)
+
+    # R = normalize(w), w = d - 2 (d.n) n
+    wbx, wby, wbz = _norm_adj(res["R"], res["rrn"], (Rbar_x, Rbar_y, Rbar_z))
+    ndotwb = nx * wbx + ny * wby + nz * wbz
+    ddn = res["ddn"]
+    dbar_x = wbx - 2.0 * ndotwb * nx
+    dbar_y = wby - 2.0 * ndotwb * ny
+    dbar_z = wbz - 2.0 * ndotwb * nz
+    nbar_x = -2.0 * (ndotwb * dx + ddn * wbx) + light_nbar_x
+    nbar_y = -2.0 * (ndotwb * dy + ddn * wby) + light_nbar_y
+    nbar_z = -2.0 * (ndotwb * dz + ddn * wbz) + light_nbar_z
 
     # Pb = P + BIAS*n
     P_bar_x, P_bar_y, P_bar_z = Pb_bar_x, Pb_bar_y, Pb_bar_z
@@ -444,7 +498,9 @@ def grad_layout(ns, npl, nl):
     slots["amb"] = k
     slots["lamb"] = k + 1
     slots["refl"] = k + 2
-    k += 3
+    slots["spec"] = k + 3
+    slots["shin"] = k + 4
+    k += 5
     for c in range(3):
         slots[("cam_pos", c)] = k
         k += 1
@@ -457,18 +513,19 @@ def grad_layout(ns, npl, nl):
 
 
 def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
-                     swap_xy=False, aliasing=False):
+                     swap_xy=False, aliasing=False, aa_share=False):
     shape = (TW, TH)
+    shape_w = (TW + 8, TH)   # +1 logical shared-sample row, padded to sublanes
     slots, n_grads = grad_layout(ns, npl, nl)
-    S = len(AA_OFFSETS) if aliasing else 1
+    per_sample = aliasing and not aa_share
 
     def kernel(params, sph, pln, lts, g_ref, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        smp = pl.program_id(2) if aliasing else 0
+        smp = pl.program_id(2) if per_sample else 0
 
         first = (i == 0) & (j == 0)
-        if aliasing:
+        if per_sample:
             first = first & (smp == 0)
 
         @pl.when(first)
@@ -482,11 +539,13 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
                     return 0
                 jax.lax.fori_loop(0, n_grads, zbody, 0)
 
+        # Lane partials are accumulated per (slot, chain-shape): the shared-AA
+        # path runs chains of two shapes, which cannot share one running vector.
         acc_vals = {}
 
         def acc(slot, vec):
-            k = slots[slot]
-            acc_vals[k] = acc_vals.get(k, 0.0) + vec
+            key = (slots[slot], vec.shape)
+            acc_vals[key] = acc_vals.get(key, 0.0) + vec
 
         if ns <= _UNROLL_LIMIT:
             def acc_sph(j, c, vec):
@@ -497,7 +556,6 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
             def acc_sph(j, c, vec):
                 out_ref[j * 7 + c] += _vsum(vec)
 
-        # --- recompute forward chain with residuals ---------------------------
         fu = (i * TW).astype(jnp.float32)
         fv = (j * TH).astype(jnp.float32)
         if not swap_xy:
@@ -507,41 +565,79 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
         su = fu + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
         sv = fv + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
         gx, gy = (su, sv) if not swap_xy else (sv, su)
-        if aliasing:
-            px = gx + params[_P_OFFS + 2 * smp]
-            py = gy + params[_P_OFFS + 2 * smp + 1]
-        else:
-            px, py = gx, gy
-        pcx = params[_P_FOCAL]
-        pcy = params[_P_Y0] + px * params[_P_DY]
-        pcz = params[_P_Z0] + py * params[_P_DZ]
+
         R = params
-        dx = R[_P_ROT + 0] * pcx + R[_P_ROT + 1] * pcy + R[_P_ROT + 2] * pcz
-        dy = R[_P_ROT + 3] * pcx + R[_P_ROT + 4] * pcy + R[_P_ROT + 5] * pcz
-        dz = R[_P_ROT + 6] * pcx + R[_P_ROT + 7] * pcy + R[_P_ROT + 8] * pcz
-        dn = _rnorm(dx, dy, dz)
-        d0 = (dx * dn, dy * dn, dz * dn)
-        raygen_res = (pcx, pcy, pcz, dn, d0)
-        o0 = (jnp.full(shape, params[_P_ORIGIN + 0], jnp.float32),
-              jnp.full(shape, params[_P_ORIGIN + 1], jnp.float32),
-              jnp.full(shape, params[_P_ORIGIN + 2], jnp.float32))
-
         refl = params[_P_REFL]
-        traces = []
-        o_cur, d_cur = o0, d0
-        aliveprod = jnp.ones(shape, jnp.float32)  # prod of alive masks before i
-        weight = jnp.ones(shape, jnp.float32)
-        for bounce in range(depth + 1):
-            rgb, o_next, d_next, alive, res = _fwd_trace_res(
-                params, sph, ns, pln, npl, lts, nl, o_cur, d_cur,
-                compat=compat, shape=shape)
-            traces.append(dict(rgb=rgb, res=res, weight=weight,
-                               aliveprod=aliveprod, bounce=bounce))
-            aliveprod = aliveprod * res["alive_f"]
-            weight = aliveprod * (refl ** (bounce + 1))
-            o_cur, d_cur = o_next, d_next
 
-        # --- incoming cotangent (compat store swap for no-AA renders) ---------
+        def run_chain(px, py, gimg, shp):
+            """Recompute the forward bounce chain at fractional pixel coords
+            (px, py), then reverse-sweep it against the cotangent ``gimg``."""
+            gr_img, gg_img, gb_img = gimg
+            # --- forward chain with residuals ---------------------------------
+            pcx = params[_P_FOCAL]
+            pcy = params[_P_Y0] + px * params[_P_DY]
+            pcz = params[_P_Z0] + py * params[_P_DZ]
+            dx = R[_P_ROT + 0] * pcx + R[_P_ROT + 1] * pcy + R[_P_ROT + 2] * pcz
+            dy = R[_P_ROT + 3] * pcx + R[_P_ROT + 4] * pcy + R[_P_ROT + 5] * pcz
+            dz = R[_P_ROT + 6] * pcx + R[_P_ROT + 7] * pcy + R[_P_ROT + 8] * pcz
+            dn = _rnorm(dx, dy, dz)
+            d0 = (dx * dn, dy * dn, dz * dn)
+            o0 = (jnp.full(shp, params[_P_ORIGIN + 0], jnp.float32),
+                  jnp.full(shp, params[_P_ORIGIN + 1], jnp.float32),
+                  jnp.full(shp, params[_P_ORIGIN + 2], jnp.float32))
+
+            traces = []
+            o_cur, d_cur = o0, d0
+            aliveprod = jnp.ones(shp, jnp.float32)  # prod of alive before i
+            weight = jnp.ones(shp, jnp.float32)
+            for bounce in range(depth + 1):
+                rgb, o_next, d_next, alive, res = _fwd_trace_res(
+                    params, sph, ns, pln, npl, lts, nl, o_cur, d_cur,
+                    compat=compat, shape=shp)
+                traces.append(dict(rgb=rgb, res=res, weight=weight,
+                                   aliveprod=aliveprod, bounce=bounce))
+                aliveprod = aliveprod * res["alive_f"]
+                weight = aliveprod * (refl ** (bounce + 1))
+                o_cur, d_cur = o_next, d_next
+
+            # reflection-coefficient adjoint: w_i = refl^i * aliveprod_i
+            refl_bar = jnp.zeros(shp, jnp.float32)
+            for tr in traces[1:]:
+                i_b = tr["bounce"]
+                gdotrgb = (gr_img * tr["rgb"][0] + gg_img * tr["rgb"][1] +
+                           gb_img * tr["rgb"][2])
+                # d(refl^i)/drefl = i * refl^(i-1)
+                refl_bar += (i_b * (refl ** (i_b - 1))) * tr["aliveprod"] * gdotrgb
+            acc("refl", refl_bar)
+
+            # --- reverse sweep over the bounce chain --------------------------
+            zero3 = (jnp.zeros(shp, jnp.float32),) * 3
+            obar, dbar = zero3, zero3
+            for tr in reversed(traces):
+                w = tr["weight"]
+                gbar = (w * gr_img, w * gg_img, w * gb_img)
+                obar, dbar = _bwd_trace(params, sph, ns, pln, npl, lts, nl,
+                                        tr["res"], gbar, obar, dbar, acc,
+                                        acc_sph, compat=compat)
+            # --- camera adjoints from the primary trace's (obar, dbar) --------
+            # position: origin is broadcast, so its cotangent is the lane sum.
+            acc(("cam_pos", 0), obar[0])
+            acc(("cam_pos", 1), obar[1])
+            acc(("cam_pos", 2), obar[2])
+            # direction: d = normalize(R @ p), p = (focal, y0+px*dy, z0+py*dz).
+            ubx, uby, ubz = _norm_adj(d0, dn, dbar)
+            pvec = (jnp.full(shp, pcx, jnp.float32), pcy, pcz)
+            for rr, ub in enumerate((ubx, uby, ubz)):
+                for cc in range(3):
+                    acc(("rot", rr, cc), ub * pvec[cc])
+            # focal feeds p[0]; fov via focal = cot(fov_rad/2):
+            #   dfocal/dfov = -(1 + focal^2) * pi/360.
+            focal_bar = (R[_P_ROT + 0] * ubx + R[_P_ROT + 3] * uby +
+                         R[_P_ROT + 6] * ubz)
+            dfdf = -(1.0 + pcx * pcx) * jnp.float32(3.14159265358979 / 360.0)
+            acc("fov", focal_bar * dfdf)
+
+        # --- incoming cotangent ----------------------------------------------
         # Mask lanes beyond the true image extent: partial tiles are padded and
         # the pad region of the cotangent block is uninitialized memory — it
         # would otherwise flow into the scalar reductions.
@@ -551,7 +647,14 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
         g0 = jnp.where(inb, g_ref[0], 0.0)
         g1 = jnp.where(inb, g_ref[1], 0.0)
         g2 = jnp.where(inb, g_ref[2], 0.0)
-        if aliasing:
+
+        if not aliasing:
+            if compat:
+                gimg = (g0, g2, g1)  # out = (r, b, g) store swap
+            else:
+                gimg = (g0, g1, g2)
+            run_chain(gx, gy, gimg, shape)
+        elif per_sample:
             # AA combine adjoint: interior pixels average 9 samples (1/9 each);
             # border pixels take only the center sample. Under compat, the
             # primary sample's channels land store-swapped while neighbor
@@ -563,73 +666,87 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
             w_int = jnp.where(interior, inv9, jnp.where(is_primary, 1.0, 0.0))
             if compat:
                 # primary: (r,b,g) mapping; neighbors: (r,g,b) mapping
-                gr_img = g0 * w_int
-                gg_img = jnp.where(is_primary, g2, g1) * w_int
-                gb_img = jnp.where(is_primary, g1, g2) * w_int
+                gimg = (g0 * w_int,
+                        jnp.where(is_primary, g2, g1) * w_int,
+                        jnp.where(is_primary, g1, g2) * w_int)
             else:
-                gr_img, gg_img, gb_img = g0 * w_int, g1 * w_int, g2 * w_int
-        elif compat:
-            gr_img, gg_img, gb_img = g0, g2, g1  # out = (r, b, g)
+                gimg = (g0 * w_int, g1 * w_int, g2 * w_int)
+            px = gx + params[_P_OFFS + 2 * smp]
+            py = gy + params[_P_OFFS + 2 * smp + 1]
+            run_chain(px, py, gimg, shape)
         else:
-            gr_img, gg_img, gb_img = g0, g1, g2
+            # Shared-sample AA (mirrors _make_kernel_aa_shared): 6 chains replace
+            # 9 per-pixel samples. A shared half-offset sample's cotangent is the
+            # sum of its two adjacent pixels' neighbor weights; boundary samples
+            # recomputed by the adjacent tile receive that tile's share there.
+            interior = ((gx >= 1.0) & (gx <= W - 2) & (gy >= 1.0) &
+                        (gy <= H - 2))
+            inv9 = jnp.float32(1.0 / 9.0)
+            w_nb = jnp.where(interior, inv9, 0.0)
+            w_c = jnp.where(interior, inv9, 1.0)
+            if compat:
+                g_center = (g0 * w_c, g2 * w_c, g1 * w_c)
+                gw = (g0 * w_nb, g1 * w_nb, g2 * w_nb)
+            else:
+                g_center = (g0 * w_c, g1 * w_c, g2 * w_c)
+                gw = (g0 * w_nb, g1 * w_nb, g2 * w_nb)
 
-        # reflection-coefficient adjoint: w_i = refl^i * aliveprod_i
-        refl_bar = jnp.zeros(shape, jnp.float32)
-        for tr in traces[1:]:
-            i_b = tr["bounce"]
-            gdotrgb = (gr_img * tr["rgb"][0] + gg_img * tr["rgb"][1] +
-                       gb_img * tr["rgb"][2])
-            # d(refl^i)/drefl = i * refl^(i-1)
-            refl_bar += (i_b * (refl ** (i_b - 1))) * tr["aliveprod"] * gdotrgb
-        acc("refl", refl_bar)
+            # shared-grid cotangent: sample k at su = fu - 0.5 + k feeds pixel
+            # u = k (its -0.5 sample) and u = k-1 (its +0.5 sample).
+            # (concatenate, not jnp.pad: lax.pad does not legalize in Mosaic)
+            z1 = jnp.zeros((1, TH), jnp.float32)
+            z7 = jnp.zeros((7, TH), jnp.float32)
+            z8 = jnp.zeros((8, TH), jnp.float32)
 
-        # --- reverse sweep over the bounce chain ------------------------------
-        zero3 = (jnp.zeros(shape, jnp.float32),) * 3
-        obar, dbar = zero3, zero3
-        for tr in reversed(traces):
-            w = tr["weight"]
-            gbar = (w * gr_img, w * gg_img, w * gb_img)
-            obar, dbar = _bwd_trace(params, sph, ns, pln, npl, lts, nl,
-                                    tr["res"], gbar, obar, dbar, acc, acc_sph,
-                                    compat=compat)
-        # --- camera adjoints from the primary trace's (obar, dbar) ------------
-        # position: origin is broadcast, so its cotangent is the lane sum.
-        acc(("cam_pos", 0), obar[0])
-        acc(("cam_pos", 1), obar[1])
-        acc(("cam_pos", 2), obar[2])
-        # direction: d = normalize(R @ p), p = (focal, y0+px*dy, z0+py*dz).
-        pcx_r, pcy_r, pcz_r, dn_r, d0_r = raygen_res
-        ubx, uby, ubz = _norm_adj(d0_r, dn_r, dbar)
-        pvec = (jnp.full(shape, pcx_r, jnp.float32), pcy_r, pcz_r)
-        for rr, ub in enumerate((ubx, uby, ubz)):
-            for cc in range(3):
-                acc(("rot", rr, cc), ub * pvec[cc])
-        # focal feeds p[0]; fov via focal = cot(fov_rad/2):
-        #   dfocal/dfov = -(1 + focal^2) * pi/360.
-        focal_bar = (R[_P_ROT + 0] * ubx + R[_P_ROT + 3] * uby +
-                     R[_P_ROT + 6] * ubz)
-        dfdf = -(1.0 + pcx_r * pcx_r) * jnp.float32(3.14159265358979 / 360.0)
-        acc("fov", focal_bar * dfdf)
+            def shared_cot(c):
+                return (jnp.concatenate([c, z8], axis=0) +
+                        jnp.concatenate([z1, c, z7], axis=0))
+
+            gsh = tuple(shared_cot(c) for c in gw)
+            suw = (fu - 0.5 + jax.lax.broadcasted_iota(
+                jnp.int32, shape_w, 0).astype(jnp.float32))
+            svw = fv + jax.lax.broadcasted_iota(
+                jnp.int32, shape_w, 1).astype(jnp.float32)
+
+            def chain(u, v, gimg, shp):
+                px, py = (u, v) if not swap_xy else (v, u)
+                run_chain(px, py, gimg, shp)
+
+            chain(su, sv, g_center, shape)                 # centers
+            chain(suw, svw, gsh, shape_w)                  # shared su-halves
+            chain(su, sv - 0.5, gw, shape)                 # lane-halves
+            chain(su, sv + 0.5, gw, shape)
+            chain(suw, svw - 0.5, gsh, shape_w)            # shared corners
+            chain(suw, svw + 0.5, gsh, shape_w)
 
         # --- reduce lane partials into the flat SMEM accumulator --------------
-        for k in sorted(acc_vals):
-            out_ref[k] += _vsum(acc_vals[k])
+        per_slot = {}
+        for (k, _shp) in sorted(acc_vals, key=lambda t: (t[0], t[1])):
+            per_slot.setdefault(k, []).append(_vsum(acc_vals[(k, _shp)]))
+        for k in sorted(per_slot):
+            total = per_slot[k][0]
+            for v in per_slot[k][1:]:
+                total = total + v
+            out_ref[k] += total
 
     return kernel, n_grads
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "compat", "tile_w",
                                              "tile_h", "interpret",
-                                             "return_camera", "aliasing"))
+                                             "return_camera", "aliasing",
+                                             "aa_share"))
 def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                        compat: bool = True, tile_w: int = 32, tile_h: int = 128,
                        interpret: bool = False, return_camera: bool = False,
-                       aliasing: bool = False):
+                       aliasing: bool = False, aa_share: bool = True):
     """Fused backward: cotangent image ``(w, h, 3)`` -> scene-gradient pytree.
 
-    Matches ``jax.vjp`` of the jnp path (``aliasing=False``). With
-    ``return_camera=True`` also returns the camera-gradient pytree
-    (position/rotation/fov).
+    Matches ``jax.vjp`` of the jnp path. With ``return_camera=True`` also
+    returns the camera-gradient pytree (position/rotation/fov). AA cotangents
+    run 6 shared sample chains per tile by default (6.75/9 of the per-sample
+    work, same sharing as the forward kernel); ``aa_share=False`` keeps the
+    per-sample grid axis.
     """
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
@@ -659,12 +776,13 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     TH = tile_h
     kernel, n_grads = _make_bwd_kernel(W=W, H=H, TW=TW, TH=TH, depth=depth,
                                        ns=ns, npl=npl, nl=nl, compat=compat,
-                                       swap_xy=swap_xy, aliasing=aliasing)
+                                       swap_xy=swap_xy, aliasing=aliasing,
+                                       aa_share=aa_share)
     g_chw = jnp.moveaxis(g_image.astype(jnp.float32), -1, 0)  # (3, W, H)
     if swap_xy:
         g_chw = jnp.transpose(g_chw, (0, 2, 1))               # (3, H, W)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    if aliasing:
+    if aliasing and not aa_share:
         grid = (pl.cdiv(U, TW), pl.cdiv(V, TH), len(AA_OFFSETS))
         g_spec = pl.BlockSpec((3, TW, TH), lambda i, j, s2: (0, i, j))
     else:
@@ -697,12 +815,12 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
         lights=Lights(position=lts_g),
         materials=Materials(ambient=flat[off], lambert=flat[off + 1],
                             reflection=flat[off + 2],
-                            specular=jnp.float32(0.0),
-                            shininess=jnp.float32(0.0)),
+                            specular=flat[off + 3],
+                            shininess=flat[off + 4]),
     )
     if not return_camera:
         return scene_g
-    off += 3
+    off += 5
     camera_g = Camera(position=flat[off:off + 3],
                       rotation=flat[off + 3:off + 12].reshape(3, 3),
                       fov=flat[off + 12], resolution=camera.resolution)

@@ -53,6 +53,38 @@ def test_bwd_matches_autodiff(demo_scene, wh, depth):
         assert a == pytest.approx(b, rel=1e-3, abs=1e-8), name
 
 
+def test_bwd_specular_matches_autodiff(demo_scene):
+    """Clean-mode Phong: fused adjoints for specular/shininess (and the extra
+    L.R chains into lights/normals) vs jax.grad (VERDICT r1 #4: these slots
+    were hard-coded zero)."""
+    scene = dataclasses.replace(
+        demo_scene, materials=rt.Materials.build(specular=0.6, shininess=8.0))
+    cam = rt.default_camera((24, 24))
+    target = rt.render_image(cam, scene, depth=1, aliasing=False,
+                             compat=False) * 0.9
+    img, vjp_fn = jax.vjp(
+        lambda s: rt.render_image(cam, s, depth=1, aliasing=False,
+                                  compat=False), scene)
+    g_img = 2.0 * (img - target) / img.size
+    g_ref = vjp_fn(g_img)[0]
+    g_ker = scene_grads_pallas(cam, scene, g_img, depth=1, compat=False,
+                               tile_w=8, tile_h=32, interpret=True)
+    for name in ("specular", "shininess", "ambient", "lambert", "reflection"):
+        a = float(getattr(g_ker.materials, name))
+        b = float(getattr(g_ref.materials, name))
+        assert a == pytest.approx(b, rel=2e-3, abs=1e-8), (name, a, b)
+    assert abs(float(g_ker.materials.specular)) > 0.0
+    # the Phong term feeds extra chains into light/normal/geometry adjoints
+    for a, b in [(g_ker.lights.position, g_ref.lights.position),
+                 (g_ker.spheres.center, g_ref.spheres.center)]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+        assert rel < 5e-2, rel
+    np.testing.assert_allclose(np.asarray(g_ker.spheres.albedo),
+                               np.asarray(g_ref.spheres.albedo),
+                               rtol=1e-3, atol=1e-7)
+
+
 def test_bwd_no_nan_partial_tiles(demo_scene):
     """Non-tile-aligned resolutions must mask padded cotangent lanes."""
     cam = rt.default_camera((24, 24))  # 24 % 32 != 0 in the lane dim
