@@ -29,6 +29,11 @@ def main() -> int:
     ap.add_argument("--aliasing", action="store_true")
     ap.add_argument("--spheres", type=int, default=0,
                     help="random N-sphere scene (0 = demo scene)")
+    ap.add_argument("--backend", default="jnp", choices=("jnp", "pallas"),
+                    help="per-shard renderer (pallas = fused Mosaic kernel)")
+    ap.add_argument("--iters", type=int, default=5,
+                    help="dispatches per timing round (use >=100 on the real "
+                         "chip: each round pays a fixed ~45 ms tunnel cost)")
     args = ap.parse_args()
 
     if args.virtual:
@@ -61,8 +66,9 @@ def main() -> int:
     for n in sizes:
         mesh = make_mesh(jax.devices()[:n])
         fn = lambda: render_image_sharded(cam, scene, mesh, depth=args.depth,
-                                          aliasing=args.aliasing)
-        secs = time_fn(fn, warmup=1, iters=5)
+                                          aliasing=args.aliasing,
+                                          backend=args.backend)
+        secs = time_fn(fn, warmup=1, iters=args.iters, best_of=2)
         rate = total_rays / secs
         if base_rate is None:
             base_rate = rate
@@ -76,7 +82,8 @@ def main() -> int:
     print(json.dumps(dict(metric="scaling_efficiency",
                           config=dict(width=args.width, height=args.height,
                                       depth=args.depth, aliasing=args.aliasing,
-                                      virtual=bool(args.virtual)),
+                                      virtual=bool(args.virtual),
+                                      backend=args.backend, iters=args.iters),
                           results=results)))
     return 0
 

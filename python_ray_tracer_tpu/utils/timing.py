@@ -32,7 +32,15 @@ def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 5,
     return the per-call aggregate (pipelined device throughput).
 
     ``best_of > 1`` repeats the whole measurement and returns the fastest
-    aggregate — the standard defense against noisy/time-shared devices."""
+    aggregate — the standard defense against noisy/time-shared devices.
+
+    Each measurement round carries a FIXED ~tens-of-ms cost on this image's
+    tunneled backend (first-dispatch HTTP round trip + the scalar-fetch sync),
+    independent of ``iters`` — measured 45 ms here by sweeping iters=5/20/100
+    against a single-dispatch ``lax.scan`` chain of the same kernel. Callers
+    timing millisecond-scale kernels must pick ``iters`` large enough that
+    overhead/iters is negligible (iters >= 100 for ~2 ms kernels); otherwise the
+    reported per-call time is inflated by overhead/iters."""
     for _ in range(max(warmup, 1)):
         _sync(fn(*args, **kwargs))
     best = float("inf")
