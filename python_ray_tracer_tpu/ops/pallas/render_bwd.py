@@ -739,14 +739,18 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
 def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                        compat: bool = True, tile_w: int = 32, tile_h: int = 128,
                        interpret: bool = False, return_camera: bool = False,
-                       aliasing: bool = False, aa_share: bool = True):
+                       aliasing: bool = False, aa_share: bool = False):
     """Fused backward: cotangent image ``(w, h, 3)`` -> scene-gradient pytree.
 
     Matches ``jax.vjp`` of the jnp path. With ``return_camera=True`` also
-    returns the camera-gradient pytree (position/rotation/fov). AA cotangents
-    run 6 shared sample chains per tile by default (6.75/9 of the per-sample
-    work, same sharing as the forward kernel); ``aa_share=False`` keeps the
-    per-sample grid axis.
+    returns the camera-gradient pytree (position/rotation/fov). ``aa_share=True``
+    runs the AA cotangents as 6 shared sample chains per tile (6.75/9 of the
+    per-sample arithmetic, same sharing as the forward kernel) — but measured on
+    v5e it LOSES to the per-sample grid axis (34 vs 24 ms @1080p depth-2) and
+    can exceed the 16 MB scoped-VMEM limit at larger tiles: a chain's full
+    residual set plus every gradient partial stays live across all six chains,
+    and the resulting spills cost more than the saved arithmetic. Default is
+    the per-sample axis; the shared path stays for narrower-residual futures.
     """
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count

@@ -190,9 +190,12 @@ def test_bwd_rolled_matches_unrolled():
 
 
 @pytest.mark.slow
-def test_bwd_aliasing_matches_autodiff(demo_scene):
-    """AA mode: per-sample cotangent weights (interior 1/9, border center-only,
-    compat primary swap) reproduce jax.grad of the supersampled render."""
+@pytest.mark.parametrize("aa_share", [False, True])
+def test_bwd_aliasing_matches_autodiff(demo_scene, aa_share):
+    """AA mode: both cotangent layouts — the per-sample grid axis (default) and
+    the shared-sample chains (interior 1/9, border center-only, compat primary
+    swap; shared halves sum their two pixels' weights) — reproduce jax.grad of
+    the supersampled render."""
     cam = rt.default_camera((24, 24))
     target = rt.render_image(cam, demo_scene, depth=1, aliasing=True,
                              compat=True) * 0.9
@@ -201,7 +204,8 @@ def test_bwd_aliasing_matches_autodiff(demo_scene):
     g_img = 2.0 * (img - target) / img.size
     g_ref = vjp(g_img)[0]
     g = scene_grads_pallas(cam, demo_scene, g_img, depth=1, compat=True,
-                           tile_w=8, tile_h=32, interpret=True, aliasing=True)
+                           tile_w=8, tile_h=32, interpret=True, aliasing=True,
+                           aa_share=aa_share)
     a, b = np.asarray(g.spheres.center), np.asarray(g_ref.spheres.center)
     assert np.abs(a - b).max() / np.abs(b).max() < 5e-2
     np.testing.assert_allclose(np.asarray(g.spheres.albedo),
