@@ -14,7 +14,9 @@ from .models.scene import (Scene, Spheres, Planes, Lights, Materials, default_sc
 from .models.camera import Camera, default_camera, euler_rotation
 from .ops.render import render_image, render_rays, to_framebuffer
 from .ops.soft import render_image_soft, render_rays_soft
-from .ops.pallas import render_image_pallas, render_image_fast, scene_grads_pallas
+from .ops.pallas import (render_image_pallas, render_image_fast,
+                         scene_grads_pallas, render_image_soft_pallas,
+                         render_image_soft_fast)
 from .ops.shade import sample, trace_once, reflect
 from .ops.intersect import intersect_spheres, intersect_planes, closest_hit, any_hit
 from .utils.config import RenderConfig
@@ -30,6 +32,7 @@ __all__ = [
     "random_scene", "Camera", "default_camera", "euler_rotation",
     "render_image", "render_rays", "to_framebuffer", "render_image_soft",
     "render_image_pallas", "render_image_fast", "scene_grads_pallas",
+    "render_image_soft_pallas", "render_image_soft_fast",
     "render_rays_soft", "sample", "trace_once",
     "reflect", "intersect_spheres", "intersect_planes", "closest_hit", "any_hit",
     "RenderConfig", "save_png", "framebuffer_to_array", "time_fn", "rays_per_image",

@@ -58,6 +58,12 @@ def _build(args):
 
 def _render_fn(cfg, soft_tau=0.0):
     if soft_tau > 0.0:
+        if cfg.backend == "pallas":
+            from .ops.pallas.soft_pallas import render_image_soft_pallas
+
+            def fn(cam, scene):
+                return render_image_soft_pallas(cam, scene, tau=soft_tau)
+            return fn
         from .ops.soft import render_image_soft
 
         def fn(cam, scene):

@@ -1,0 +1,234 @@
+"""Fused Pallas kernel for the soft-visibility renderer (ops/soft.py).
+
+Same math as :func:`..soft.render_rays_soft` — SoftRasterizer-style sigmoid
+coverage, soft shadows as transmission products, front-to-back compositing —
+fused into one Mosaic kernel over pixel tiles with analytic ray generation
+(no pixel-grid input, scene in SMEM scalars, framebuffer tile in VMEM).
+
+The jnp path sorts objects by blend depth and cumprods transmission
+(soft.py:137-145). A per-lane sort is hostile to the VPU, so the kernel uses
+the order-free identity
+
+    w_i = alpha_i * prod_{j != i} (1 - alpha_j * [t_j < t_i  or
+                                                  (t_j == t_i and j < i)])
+
+which reproduces the sorted cumprod exactly, including argsort's stable
+index-order tie-break. O(K^2 + K^2 L) per ray like the jnp path; the whole
+object state lives in registers, so the kernel unrolls the object axis and is
+limited to smallish scenes (inverse-rendering workloads; the jnp path remains
+for larger K).
+
+Scope mirrors soft.py: clean-mode camera, primary visibility + ambient +
+soft-shadowed Lambert, opaque planes, no mirror bounces. Differentiability:
+:func:`render_image_soft_fast` wraps this forward in a ``custom_vjp`` whose
+backward is XLA autodiff of the jnp path (the soft renderer is the
+optimization renderer — its gradients matter more than its pixels, and the
+jnp backward is already fast at fit resolutions).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
+                            _P_DZ, _P_AMB, _P_LAMB, _pack_params, _rnorm)
+
+_SOFT_UNROLL_LIMIT = 24   # objects fully unrolled in registers
+
+# extra SMEM scalar appended after the standard params vector
+_P_TAU_REL = 0
+
+
+def _soft_cover(ox, oy, oz, dx, dy, dz, cx, cy, cz, r, tau, shape):
+    """Per-sphere soft coverage + blend depth == soft.py:41-63, tile-wide."""
+    Lx, Ly, Lz = cx - ox, cy - oy, cz - oz
+    t_ca = Lx * dx + Ly * dy + Lz * dz
+    LL = Lx * Lx + Ly * Ly + Lz * Lz
+    d2 = LL - t_ca * t_ca
+    d2_pos = d2 > 1e-12
+    b = jnp.sqrt(jnp.where(d2_pos, d2, 1e-12))
+    alpha = jax.nn.sigmoid(-(b - r) / (tau * r))
+    alpha = jnp.where(t_ca > 0.0, alpha, 0.0)
+    chord2 = r * r - d2
+    inside = chord2 > 1e-12
+    half_chord = jnp.sqrt(jnp.where(inside, chord2, 1.0))
+    t = jnp.where(inside, t_ca - half_chord, t_ca)
+    return alpha, jnp.maximum(t, 1e-4)
+
+
+def _make_soft_kernel(*, W, H, TW, TH, ns, npl, nl, swap_xy):
+    shape = (TW, TH)
+
+    def kernel(params, sph, pln, lts, extra, out_ref):
+        tau = extra[_P_TAU_REL]
+        amb = params[_P_AMB]
+        lamb = params[_P_LAMB]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        fu = (i * TW).astype(jnp.float32)
+        fv = (j * TH).astype(jnp.float32)
+        su = fu + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+        sv = fv + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        px, py = (su, sv) if not swap_xy else (sv, su)
+
+        pcx = params[_P_FOCAL]
+        pcy = params[_P_Y0] + px * params[_P_DY]
+        pcz = params[_P_Z0] + py * params[_P_DZ]
+        R = params
+        dx = R[_P_ROT + 0] * pcx + R[_P_ROT + 1] * pcy + R[_P_ROT + 2] * pcz
+        dy = R[_P_ROT + 3] * pcx + R[_P_ROT + 4] * pcy + R[_P_ROT + 5] * pcz
+        dz = R[_P_ROT + 6] * pcx + R[_P_ROT + 7] * pcy + R[_P_ROT + 8] * pcz
+        dn = _rnorm(dx, dy, dz)
+        dx, dy, dz = dx * dn, dy * dn, dz * dn
+        ox = params[_P_ORIGIN + 0]
+        oy = params[_P_ORIGIN + 1]
+        oz = params[_P_ORIGIN + 2]
+
+        def transmission(Px, Py, Pz, Ldx, Ldy, Ldz):
+            """prod_j (1 - alpha_j) along a shadow ray (soft.py:75-86)."""
+            vis = jnp.ones(shape, jnp.float32)
+            for k in range(ns):
+                a_k, _ = _soft_cover(Px, Py, Pz, Ldx, Ldy, Ldz,
+                                     sph[0, k], sph[1, k], sph[2, k], sph[3, k],
+                                     tau, shape)
+                vis = vis * (1.0 - a_k)
+            return vis
+
+        def shade(Px, Py, Pz, Nx, Ny, Nz, ar, ag, ab):
+            """ambient + soft-shadowed Lambert (soft.py:89-100)."""
+            sr, sg, sb = amb * ar, amb * ag, amb * ab
+            for l in range(nl):
+                Lx, Ly, Lz = lts[0, l] - Px, lts[1, l] - Py, lts[2, l] - Pz
+                ln = _rnorm(Lx, Ly, Lz)
+                Lx, Ly, Lz = Lx * ln, Ly * ln, Lz * ln
+                vis = transmission(Px, Py, Pz, Lx, Ly, Lz)
+                lam = lamb * (Lx * Nx + Ly * Ny + Lz * Nz)
+                lam = jnp.maximum(lam, 0.0) * vis
+                sr, sg, sb = sr + lam * ar, sg + lam * ag, sb + lam * ab
+            return sr, sg, sb
+
+        alphas, ts, rgbs = [], [], []
+        for k in range(ns):
+            cx, cy, cz, r = sph[0, k], sph[1, k], sph[2, k], sph[3, k]
+            a_k, t_k = _soft_cover(ox, oy, oz, dx, dy, dz, cx, cy, cz, r,
+                                   tau, shape)
+            Px, Py, Pz = ox + t_k * dx, oy + t_k * dy, oz + t_k * dz
+            nx_, ny_, nz_ = Px - cx, Py - cy, Pz - cz
+            nn = _rnorm(nx_, ny_, nz_)
+            rgbs.append(shade(Px, Py, Pz, nx_ * nn, ny_ * nn, nz_ * nn,
+                              sph[4, k], sph[5, k], sph[6, k]))
+            alphas.append(a_k)
+            ts.append(t_k)
+        for k in range(npl):
+            nx_, ny_, nz_ = pln[3, k], pln[4, k], pln[5, k]
+            den = dx * nx_ + dy * ny_ + dz * nz_
+            den_safe = jnp.where(jnp.abs(den) > 1e-8, den, 1.0)
+            num = ((pln[0, k] - ox) * nx_ + (pln[1, k] - oy) * ny_ +
+                   (pln[2, k] - oz) * nz_)
+            t_k = jnp.maximum(num / den_safe, 1e-4)
+            a_k = ((jnp.abs(den) > 1e-8) & (num / den_safe > 0.0)
+                   ).astype(jnp.float32)
+            Px, Py, Pz = ox + t_k * dx, oy + t_k * dy, oz + t_k * dz
+            rgbs.append(shade(Px, Py, Pz, nx_, ny_, nz_,
+                              pln[6, k], pln[7, k], pln[8, k]))
+            alphas.append(a_k)
+            ts.append(t_k)
+
+        # order-free front-to-back compositing (== sorted cumprod, soft.py:137-145)
+        out_r = jnp.zeros(shape, jnp.float32)
+        out_g = jnp.zeros(shape, jnp.float32)
+        out_b = jnp.zeros(shape, jnp.float32)
+        K = len(alphas)
+        for ii in range(K):
+            w = alphas[ii]
+            for jj in range(K):
+                if jj == ii:
+                    continue
+                if jj < ii:
+                    closer = ts[jj] <= ts[ii]   # ties: lower index wins
+                else:
+                    closer = ts[jj] < ts[ii]
+                w = w * (1.0 - jnp.where(closer, alphas[jj], 0.0))
+            sr, sg, sb = rgbs[ii]
+            out_r += w * sr
+            out_g += w * sg
+            out_b += w * sb
+        out_ref[0], out_ref[1], out_ref[2] = out_r, out_g, out_b
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("tile_w", "tile_h", "interpret"))
+def render_image_soft_pallas(camera, scene, *, tau=0.05, tile_w: int = 40,
+                             tile_h: int = 128,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Fused soft render -> float ``(w, h, 3)``, matching
+    :func:`..soft.render_image_soft` (clean orientation/channels)."""
+    W, H = camera.resolution
+    ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
+    assert ns + npl <= _SOFT_UNROLL_LIMIT, (
+        f"soft kernel unrolls objects in registers; {ns + npl} > "
+        f"{_SOFT_UNROLL_LIMIT} — use the jnp path (render_image_soft)")
+    params = _pack_params(camera, scene, False)   # clean-mode grid
+    extra = jnp.asarray([tau], jnp.float32)
+    sph = jnp.concatenate([
+        scene.spheres.center.T.astype(jnp.float32),
+        scene.spheres.radius[None].astype(jnp.float32),
+        scene.spheres.albedo.T.astype(jnp.float32)], axis=0) if ns else \
+        jnp.zeros((7, 1), jnp.float32)
+    pln = jnp.concatenate([
+        scene.planes.origin.T.astype(jnp.float32),
+        scene.planes.normal.T.astype(jnp.float32),
+        scene.planes.albedo.T.astype(jnp.float32)], axis=0) if npl else \
+        jnp.zeros((9, 1), jnp.float32)
+    lts = (scene.lights.position.T.astype(jnp.float32) if nl else
+           jnp.zeros((3, 1), jnp.float32))
+
+    def _lane_waste(n):
+        up = -(-n // 128) * 128
+        return (up - n) / n
+    swap_xy = _lane_waste(W) < _lane_waste(H)
+    U = H if swap_xy else W
+    V = W if swap_xy else H
+    TW = min(tile_w, U)
+    TH = tile_h
+    kernel = _make_soft_kernel(W=W, H=H, TW=TW, TH=TH, ns=ns, npl=npl, nl=nl,
+                               swap_xy=swap_xy)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(U, TW), pl.cdiv(V, TH)),
+        in_specs=[smem()] * 5,
+        out_specs=pl.BlockSpec((3, TW, TH), lambda i, j: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((3, U, V), jnp.float32),
+        interpret=interpret,
+    )(params, sph, pln, lts, extra)
+    if swap_xy:
+        return jnp.transpose(out, (2, 1, 0))
+    return jnp.moveaxis(out, 0, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def render_image_soft_fast(camera, scene, tau: float = 0.05):
+    """Pallas soft forward + jnp-autodiff backward (training renders the loss
+    with kernel-speed forward; gradients via the jnp soft path)."""
+    return render_image_soft_pallas(camera, scene, tau=tau)
+
+
+def _fwd(camera, scene, tau):
+    return render_image_soft_pallas(camera, scene, tau=tau), (camera, scene)
+
+
+def _bwd(tau, res, g):
+    camera, scene = res
+    from ..soft import render_image_soft
+    _, vjp = jax.vjp(lambda c, s: render_image_soft(c, s, tau=tau),
+                     camera, scene)
+    return vjp(g)
+
+
+render_image_soft_fast.defvjp(_fwd, _bwd)

@@ -109,3 +109,42 @@ def test_soft_row_chunked_matches():
     whole = np.asarray(rt.render_image_soft(cam, scene, tau=0.05))
     chunked = np.asarray(rt.render_image_soft(cam, scene, tau=0.05, row_chunk=8))
     np.testing.assert_allclose(whole, chunked, atol=1e-6)
+
+
+def test_soft_pallas_matches_jnp():
+    """Fused soft kernel == jnp soft path (order-free compositing identity
+    reproduces the sorted cumprod, stable tie-break included)."""
+    import numpy as np
+    from python_ray_tracer_tpu.ops.pallas.soft_pallas import render_image_soft_pallas
+    cam = rt.default_camera((32, 32))
+    scene = rt.default_scene()
+    ref = np.asarray(rt.render_image_soft(cam, scene, tau=0.05))
+    out = np.asarray(render_image_soft_pallas(cam, scene, tau=0.05,
+                                              tile_w=8, tile_h=32,
+                                              interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_soft_pallas_fast_grads_match_jnp():
+    """custom_vjp wrapper: gradients equal the jnp soft path's gradients."""
+    import jax
+    import numpy as np
+    from python_ray_tracer_tpu.ops.pallas import soft_pallas as sp
+    cam = rt.default_camera((16, 16))
+    scene = rt.default_scene()
+    orig = sp.render_image_soft_pallas
+    try:
+        sp.render_image_soft_pallas = lambda c, s, **kw: orig(
+            c, s, interpret=True, **{k: v for k, v in kw.items()
+                                     if k != "interpret"})
+        g_fast = jax.grad(
+            lambda s: (sp.render_image_soft_fast(cam, s, 0.05) ** 2).sum())(scene)
+    finally:
+        sp.render_image_soft_pallas = orig
+    g_ref = jax.grad(
+        lambda s: (rt.render_image_soft(cam, s, tau=0.05) ** 2).sum())(scene)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fast),
+                    jax.tree_util.tree_leaves(g_ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-3,
+                                   atol=1e-5 * (abs(b).max() + 1.0))
