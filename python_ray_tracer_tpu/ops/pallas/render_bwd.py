@@ -46,7 +46,7 @@ from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
                             _P_DZ, _P_AMB, _P_LAMB, _P_REFL, _P_SPEC, _P_SHIN,
                             _P_X0, _P_OFFS,
                             AA_OFFSETS, _pack_params, _UNROLL_LIMIT, FAR, BIAS,
-                            BIG, _rnorm)
+                            BIG, _rnorm, _fold_objects)
 
 _DEN_EPS = 1e-6   # grazing-hit clamp for implicit-function t adjoints
 
@@ -69,13 +69,14 @@ def _norm_adj(u, rn, ubar):
 
 def _fold_spheres(ns, body, carry):
     """Fold ``body(j, carry) -> carry`` over the sphere axis: Python-unrolled for
-    small scenes, ``fori_loop`` (dynamic SMEM reads, f32 index compares, dynamic
-    SMEM gradient stores) for large ones."""
+    small scenes (module-local limit — tests force-unroll by patching it),
+    chunk-unrolled ``fori_loop`` (dynamic SMEM reads, f32 index compares,
+    dynamic SMEM gradient stores) for large ones."""
     if ns <= _UNROLL_LIMIT:
         for j in range(ns):
             carry = body(j, carry)
         return carry
-    return jax.lax.fori_loop(0, ns, body, carry)
+    return _fold_objects(ns, body, carry)
 
 
 def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):

@@ -65,7 +65,118 @@ def _rnorm(x, y, z):
     return jax.lax.rsqrt(x * x + y * y + z * z)
 
 
-def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
+_CHUNK = 8
+
+
+def _fold_objects(n, body, carry):
+    """Fold ``body(j, carry) -> carry`` over an object axis of static size ``n``.
+
+    Small scenes unroll fully (static SMEM indices). Large scenes run a
+    chunk-unrolled ``fori_loop`` — _CHUNK objects per iteration with dynamic
+    SMEM reads — which amortizes the loop-carry overhead that made the r1
+    one-object-per-iteration rolled path ~3x slower than unrolled-equivalent,
+    plus a statically-unrolled tail for the remainder."""
+    if n <= _UNROLL_LIMIT:
+        for j in range(n):
+            carry = body(j, carry)
+        return carry
+
+    def chunk_body(k, carry):
+        base = k * _CHUNK
+        for jj in range(_CHUNK):
+            carry = body(base + jj, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(0, n // _CHUNK, chunk_body, carry)
+    for j in range((n // _CHUNK) * _CHUNK, n):
+        carry = body(j, carry)
+    return carry
+
+
+def _fold_objects_early_exit(n, body, carry, done):
+    """Like :func:`_fold_objects` but for monotone accumulations (shadow
+    occlusion): once ``done(carry)`` reports every lane saturated, remaining
+    chunks are skipped via the ``while_loop`` condition — an exact,
+    tile-coherent early exit (occlusion can only grow; skipped objects cannot
+    change a saturated tile). Dense scenes saturate after a few chunks."""
+    if n <= _UNROLL_LIMIT:
+        for j in range(n):
+            carry = body(j, carry)
+        return carry
+
+    def cond(state):
+        k, carry = state
+        return (k < n // _CHUNK) & jnp.logical_not(done(carry))
+
+    def chunk_body(state):
+        k, carry = state
+        base = k * _CHUNK
+        for jj in range(_CHUNK):
+            carry = body(base + jj, carry)
+        return k + 1, carry
+
+    _, carry = jax.lax.while_loop(cond, chunk_body, (jnp.int32(0), carry))
+    for j in range((n // _CHUNK) * _CHUNK, n):
+        carry = body(j, carry)
+    return carry
+
+
+def _tile_visibility(camera, scene, *, n_u, n_v, TW, TH, swap_xy, x_offset,
+                     compat):
+    """Conservative per-tile sphere visibility for the PRIMARY closest-hit sweep.
+
+    For each pixel tile, bound its ray pencil by a cone through the four
+    (±1-pixel-margined — covers AA half-offsets and the shared-sample pad row)
+    corner directions; a sphere is kept iff its bounding ball meets the cone
+    angularly (and, in compat mode, isn't entirely beyond the 999.0 far clip).
+    The pencil of a planar pixel grid is convex, so the corner directions bound
+    it exactly and a culled sphere provably misses every used ray of the tile:
+    the culled sweep's closest hit is bit-identical to the full sweep. Bounce
+    and shadow sweeps cannot use this cone (their origins scatter) and stay
+    full. Returns visible-first index lists + counts, shapes
+    ``(n_u*n_v, ns) i32`` / ``(n_u*n_v, 1) i32``.
+    """
+    ns = scene.spheres.count
+    focal, y0, dy, z0, dz = camera.grid_params(compat)
+    u0 = (jnp.arange(n_u, dtype=jnp.float32) * TW)[:, None, None]  # (n_u,1,1)
+    v0 = (jnp.arange(n_v, dtype=jnp.float32) * TH)[None, :, None]  # (1,n_v,1)
+    cu = jnp.asarray([-1.0, -1.0, TW + 1.0, TW + 1.0], jnp.float32)
+    cv = jnp.asarray([-1.0, TH + 1.0, -1.0, TH + 1.0], jnp.float32)
+    u = u0 + cu[None, None, :]                                     # (n_u,n_v,4)
+    v = v0 + cv[None, None, :]
+    x_off = jnp.asarray(x_offset, jnp.float32)
+    u, v = jnp.broadcast_arrays(u, v)                              # (n_u,n_v,4)
+    if not swap_xy:
+        gx, gy = u + x_off, v
+    else:
+        gx, gy = v + x_off, u
+    p = jnp.stack([jnp.broadcast_to(focal, gx.shape),
+                   y0 + gx * dy, z0 + gy * dz], axis=-1)           # (n_u,n_v,4,3)
+    d = jnp.sum(camera.rotation * p[..., None, :], axis=-1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    axis = jnp.sum(d, axis=2)
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)    # (n_u,n_v,3)
+    cos_min = jnp.min(jnp.sum(d * axis[:, :, None, :], axis=-1), axis=2)
+    theta = jnp.arccos(jnp.clip(cos_min, -1.0, 1.0)) + 1e-3
+
+    w = scene.spheres.center[None, None] - camera.position          # (1,1,ns,3)
+    dist = jnp.linalg.norm(w, axis=-1)                              # (1,1,ns)
+    r = scene.spheres.radius[None, None]
+    cos_a = jnp.sum(w * axis[:, :, None, :], axis=-1) / jnp.maximum(dist, 1e-12)
+    alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))                  # (n_u,n_v,ns)
+    half = jnp.arcsin(jnp.clip(r / jnp.maximum(dist, 1e-12), 0.0, 1.0))
+    visible = (dist <= r + 1e-3) | (alpha <= theta[..., None] + half + 1e-3)
+    if compat:
+        visible &= (dist - r) <= FAR
+    visible = visible.reshape(n_u * n_v, ns)
+    order = jnp.argsort(jnp.logical_not(visible).astype(jnp.int32),
+                        axis=-1, stable=True).astype(jnp.int32)
+    cnt = jnp.sum(visible, axis=-1, dtype=jnp.int32)[:, None]
+    return order, cnt
+
+
+def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape,
+                 cull=None):
     """Fused closest-hit over the SoA scene.
 
     Returns ``(t, ar, ag, ab, qx, qy, qz, is_plane)`` — ``q`` carries the hit
@@ -124,32 +235,41 @@ def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
         is_pl = jnp.where(closer, jnp.float32(plane_flag), is_pl)
         return t, ar, ag, ab, qx, qy, qz, is_pl
 
-    state = (t, ar, ag, ab, qx, qy, qz, is_pl)
-    if ns <= _UNROLL_LIMIT:
-        for j in range(ns):
-            t_j, valid = sphere_t(sph[0, j], sph[1, j], sph[2, j], sph[3, j])
-            state = upd(state, t_j, valid, (sph[4, j], sph[5, j], sph[6, j]),
-                        (sph[0, j], sph[1, j], sph[2, j]), False)
-    elif ns:
-        def one_s(j, state):
-            t_j, valid = sphere_t(sph[0, j], sph[1, j], sph[2, j], sph[3, j])
-            return upd(state, t_j, valid, (sph[4, j], sph[5, j], sph[6, j]),
-                       (sph[0, j], sph[1, j], sph[2, j]), False)
-        state = jax.lax.fori_loop(0, ns, one_s, state)
+    def one_s(j, state, extra_valid=None):
+        t_j, valid = sphere_t(sph[0, j], sph[1, j], sph[2, j], sph[3, j])
+        if extra_valid is not None:
+            valid = valid & extra_valid
+        return upd(state, t_j, valid, (sph[4, j], sph[5, j], sph[6, j]),
+                   (sph[0, j], sph[1, j], sph[2, j]), False)
 
-    if npl <= _UNROLL_LIMIT:
-        for j in range(npl):
-            t_j, valid = plane_t(pln[0, j], pln[1, j], pln[2, j],
-                                 pln[3, j], pln[4, j], pln[5, j])
-            state = upd(state, t_j, valid, (pln[6, j], pln[7, j], pln[8, j]),
-                        (pln[3, j], pln[4, j], pln[5, j]), True)
-    elif npl:
-        def one_p(j, state):
-            t_j, valid = plane_t(pln[0, j], pln[1, j], pln[2, j],
-                                 pln[3, j], pln[4, j], pln[5, j])
-            return upd(state, t_j, valid, (pln[6, j], pln[7, j], pln[8, j]),
-                       (pln[3, j], pln[4, j], pln[5, j]), True)
-        state = jax.lax.fori_loop(0, npl, one_p, state)
+    def one_p(j, state):
+        t_j, valid = plane_t(pln[0, j], pln[1, j], pln[2, j],
+                             pln[3, j], pln[4, j], pln[5, j])
+        return upd(state, t_j, valid, (pln[6, j], pln[7, j], pln[8, j]),
+                   (pln[3, j], pln[4, j], pln[5, j]), True)
+
+    state = (t, ar, ag, ab, qx, qy, qz, is_pl)
+    if cull is not None and ns > _UNROLL_LIMIT:
+        # Primary sweep over this tile's visible-sphere index list only
+        # (conservative cone cull — see _tile_visibility). Chunk-unrolled with
+        # an in-range guard instead of a static tail (the count is traced).
+        vis_ref, cnt_ref = cull
+        count = cnt_ref[0, 0]
+
+        def cull_chunk(k, state):
+            base = k * _CHUNK
+            for q in range(_CHUNK):
+                jj = base + q
+                ok = jj < count
+                j = vis_ref[0, jnp.where(ok, jj, 0)]
+                state = one_s(j, state, extra_valid=ok)
+            return state
+
+        state = jax.lax.fori_loop(0, (count + _CHUNK - 1) // _CHUNK,
+                                  cull_chunk, state)
+    else:
+        state = _fold_objects(ns, one_s, state)
+    state = _fold_objects(npl, one_p, state)
     return state
 
 
@@ -188,21 +308,15 @@ def _any_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
             valid &= t_j < FAR
         return jnp.maximum(occ, valid.astype(jnp.float32))
 
-    if ns <= _UNROLL_LIMIT:
-        for j in range(ns):
-            occ = sphere_occ(occ, sph[0, j], sph[1, j], sph[2, j], sph[3, j])
-    elif ns:
-        occ = jax.lax.fori_loop(
-            0, ns, lambda j, o: sphere_occ(o, sph[0, j], sph[1, j], sph[2, j],
-                                           sph[3, j]), occ)
-    if npl <= _UNROLL_LIMIT:
-        for j in range(npl):
-            occ = plane_occ(occ, pln[0, j], pln[1, j], pln[2, j],
-                            pln[3, j], pln[4, j], pln[5, j])
-    elif npl:
-        occ = jax.lax.fori_loop(
-            0, npl, lambda j, o: plane_occ(o, pln[0, j], pln[1, j], pln[2, j],
-                                           pln[3, j], pln[4, j], pln[5, j]), occ)
+    # Planes first (a big ground plane saturates many lanes immediately), then
+    # spheres with the tile-coherent early exit.
+    occ = _fold_objects(
+        npl, lambda j, o: plane_occ(o, pln[0, j], pln[1, j], pln[2, j],
+                                    pln[3, j], pln[4, j], pln[5, j]), occ)
+    occ = _fold_objects_early_exit(
+        ns, lambda j, o: sphere_occ(o, sph[0, j], sph[1, j], sph[2, j],
+                                    sph[3, j]), occ,
+        done=lambda o: jnp.min(o) > 0.5)
     return occ
 
 
@@ -258,15 +372,17 @@ def _any_hit_multi(sph, ns, pln, npl, ox, oy, oz, dirs, *, compat, shape):
 
 
 def _trace(params, sph, ns, pln, npl, lts, nl,
-           ox, oy, oz, dx, dy, dz, *, compat, shape):
+           ox, oy, oz, dx, dy, dz, *, compat, shape, cull=None):
     """One shading evaluation == reference ``trace`` (trace.py:45-112), tile-wide.
 
-    Returns ``(r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive)``.
-    """
+    Returns ``(r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive)``. ``cull`` (primary
+    traces only) restricts the closest-hit sphere sweep to the tile's
+    cone-visible list."""
     amb = params[_P_AMB]
     lamb = params[_P_LAMB]
     t, ar, ag, ab, qx, qy, qz, is_pl = _closest_hit(
-        sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, compat=compat, shape=shape)
+        sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, compat=compat, shape=shape,
+        cull=cull)
     alive = t < (FAR if compat else BIG * 0.5)
     ts = jnp.where(alive, t, 0.0)
     Px, Py, Pz = ox + ts * dx, oy + ts * dy, oz + ts * dz
@@ -330,10 +446,11 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
 
 
 def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
-                  shape):
+                  shape, cull=None):
     """Full sample evaluation: fractional pixel coords -> (r, g, b).
 
-    Analytic ray generation + the unrolled bounce chain (value-flow form)."""
+    Analytic ray generation + the unrolled bounce chain (value-flow form).
+    ``cull`` applies to the primary trace's sphere sweep only."""
     pcx = params[_P_FOCAL]
     pcy = params[_P_Y0] + px * params[_P_DY]
     pcz = params[_P_Z0] + py * params[_P_DZ]
@@ -349,7 +466,7 @@ def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
     refl = params[_P_REFL]
     r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive = _trace(
         params, sph, ns, pln, npl, lts, nl, ox, oy, oz, dx, dy, dz,
-        compat=compat, shape=shape)
+        compat=compat, shape=shape, cull=cull)
     w = jnp.ones(shape, jnp.float32)
     for bounce in range(depth):
         w = w * refl * alive.astype(jnp.float32)
@@ -362,7 +479,7 @@ def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
 
 
 def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
-                           swap_xy=False):
+                           swap_xy=False, culled=False):
     """3x3-supersampled kernel with shared half-offset samples.
 
     The reference's AA samples are midpoints between adjacent pixel locations
@@ -379,7 +496,9 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
     shape = (TW, TH)
     shape_w = (TW + 8, TH)
 
-    def kernel(params, sph, pln, lts, out_ref):
+    def kernel(params, sph, pln, lts, *rest):
+        (vis, cnt), (out_ref,) = (rest[:2], rest[2:]) if culled else ((None, None), rest)
+        cull = (vis, cnt) if culled else None
         i = pl.program_id(0)
         j = pl.program_id(1)
         # su: sublane-axis pixel coordinate; sv: lane-axis pixel coordinate.
@@ -398,7 +517,8 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
         def chain(u, v, shp):
             px, py = (u, v) if not swap_xy else (v, u)
             return _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py,
-                                 depth=depth, compat=compat, shape=shp)
+                                 depth=depth, compat=compat, shape=shp,
+                                 cull=cull)
 
         C = chain(su, sv, shape)
         UH = chain(suw, svw, shape_w)          # shared su-halves
@@ -432,10 +552,16 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
 
 
 def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
-                 predicate_bounces, swap_xy=False):
+                 predicate_bounces, swap_xy=False, culled=False):
     shape = (TW, TH)
 
-    def kernel(params, sph, pln, lts, out_ref, *scratch):
+    def kernel(params, sph, pln, lts, *rest):
+        if culled:
+            vis, cnt, out_ref, *scratch = rest
+            cull = (vis, cnt)
+        else:
+            out_ref, *scratch = rest
+            cull = None
         if depth > 0 and predicate_bounces:
             (racc, gacc, bacc, sPx, sPy, sPz, sRx, sRy, sRz, sAl, sW) = scratch
         i = pl.program_id(0)
@@ -475,7 +601,7 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
         refl = params[_P_REFL]
         r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive = _trace(
             params, sph, ns, pln, npl, lts, nl, ox, oy, oz, dx, dy, dz,
-            compat=compat, shape=shape)
+            compat=compat, shape=shape, cull=cull)
         if depth > 0 and predicate_bounces:
             # Whole-tile predication via pl.when + VMEM scratch accumulators:
             # sky/fully-dead tiles skip every bounce's intersection+shadow sweeps
@@ -576,12 +702,12 @@ def _pack_params(camera, scene, compat, x_offset=0.0):
 
 @functools.partial(jax.jit, static_argnames=("depth", "aliasing", "compat",
                                              "tile_w", "tile_h", "interpret",
-                                             "local_width", "aa_share"))
+                                             "local_width", "aa_share", "cull"))
 def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
                         compat: bool = True, tile_w: int = 40, tile_h: int = 128,
                         interpret: bool = False, x_offset=0.0,
                         local_width: int | None = None,
-                        aa_share: bool = True) -> jnp.ndarray:
+                        aa_share: bool = True, cull: bool = True) -> jnp.ndarray:
     """Fused-kernel render -> float ``(w, h, 3)`` image, matching
     :func:`..render.render_image` output bit-for-bit up to f32 reassociation.
 
@@ -619,35 +745,60 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
            jnp.zeros((3, 1), jnp.float32))
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    n_u, n_v = pl.cdiv(U, TW), pl.cdiv(V, TH)
+    culled = cull and ns > _UNROLL_LIMIT
+    if culled:
+        vis_idx, vis_cnt = _tile_visibility(
+            camera, scene, n_u=n_u, n_v=n_v, TW=TW, TH=TH, swap_xy=swap_xy,
+            x_offset=x_offset, compat=compat)
     if aliasing and aa_share:
         kernel = _make_kernel_aa_shared(W=W, H=H, TW=TW, TH=TH, depth=depth,
                                         ns=ns, npl=npl, nl=nl, compat=compat,
-                                        swap_xy=swap_xy)
+                                        swap_xy=swap_xy, culled=culled)
+        in_specs = [smem(), smem(), smem(), smem()]
+        args = [params, sph, pln, lts]
+        if culled:
+            in_specs += [
+                pl.BlockSpec((1, ns), lambda i, j: (i * n_v + j, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (i * n_v + j, 0),
+                             memory_space=pltpu.SMEM)]
+            args += [vis_idx, vis_cnt]
         out = pl.pallas_call(
             kernel,
-            grid=(pl.cdiv(U, TW), pl.cdiv(V, TH)),
-            in_specs=[smem(), smem(), smem(), smem()],
+            grid=(n_u, n_v),
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((3, TW, TH), lambda i, j: (0, i, j)),
             out_shape=jax.ShapeDtypeStruct((3, U, V), jnp.float32),
             interpret=interpret,
-        )(params, sph, pln, lts)
+        )(*args)
         return (jnp.transpose(out, (2, 1, 0)) if swap_xy
                 else jnp.moveaxis(out, 0, -1))
     predicate_bounces = not aliasing
     kernel = _make_kernel(W=W, H=H, TW=TW, TH=TH, S=S, depth=depth, ns=ns,
                           npl=npl, nl=nl, compat=compat, aliasing=aliasing,
-                          predicate_bounces=predicate_bounces, swap_xy=swap_xy)
-    grid = (pl.cdiv(U, TW), pl.cdiv(V, TH), S)
+                          predicate_bounces=predicate_bounces, swap_xy=swap_xy,
+                          culled=culled)
+    grid = (n_u, n_v, S)
+    in_specs = [smem(), smem(), smem(), smem()]
+    args = [params, sph, pln, lts]
+    if culled:
+        in_specs += [
+            pl.BlockSpec((1, ns), lambda i, j, s: (i * n_v + j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j, s: (i * n_v + j, 0),
+                         memory_space=pltpu.SMEM)]
+        args += [vis_idx, vis_cnt]
     scratch = ([pltpu.VMEM((TW, TH), jnp.float32)] * 11) if (depth > 0 and predicate_bounces) else []
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem(), smem(), smem(), smem()],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((3, TW, TH), lambda i, j, s: (0, i, j)),
         out_shape=jax.ShapeDtypeStruct((3, U, V), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(params, sph, pln, lts)
+    )(*args)
     if swap_xy:
         return jnp.transpose(out, (2, 1, 0))
     return jnp.moveaxis(out, 0, -1)

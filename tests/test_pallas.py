@@ -76,10 +76,33 @@ def test_pallas_nonsquare_partial_tiles(demo_scene):
 
 
 def test_pallas_large_scene_rolled_loops():
-    """>16 objects takes the fori_loop path with dynamic SMEM reads."""
+    """>16 objects takes the chunk-unrolled fori_loop path with dynamic SMEM
+    reads, shadow early-exit, and the per-tile primary cone cull."""
     scene = rt.random_scene(jax.random.key(1), n_spheres=24)
     cam = rt.Camera.build((24, 24), [-6, 0, 3], [0, -20, 0])
     _compare(cam, scene, depth=1, aliasing=False, compat=True)
+
+
+@pytest.mark.parametrize("aliasing,aa_share,depth", [
+    (False, False, 2), (True, False, 1), (True, True, 1)])
+def test_pallas_cone_cull_exact(aliasing, aa_share, depth):
+    """The conservative per-tile cone cull must be invisible: culled == unculled
+    bit-for-bit (a sphere is only dropped when it provably misses every used
+    ray of the tile, AA half-offsets and shared pad rows included)."""
+    scene = rt.random_scene(jax.random.key(7), n_spheres=40)
+    cam = rt.Camera.build((40, 24), [-7, 0, 3], [0, -20, 0])
+    kw = dict(depth=depth, aliasing=aliasing, compat=True, tile_w=8, tile_h=8,
+              interpret=True, aa_share=aa_share)
+    a = np.asarray(render_image_pallas(cam, scene, cull=True, **kw))
+    b = np.asarray(render_image_pallas(cam, scene, cull=False, **kw))
+    np.testing.assert_array_equal(a, b)
+    # sanity: the cull is actually active for this scene size
+    from python_ray_tracer_tpu.ops.pallas.render_pallas import (_tile_visibility,
+                                                                _UNROLL_LIMIT)
+    assert scene.spheres.count > _UNROLL_LIMIT
+    _, cnt = _tile_visibility(cam, scene, n_u=5, n_v=3, TW=8, TH=8,
+                              swap_xy=False, x_offset=0.0, compat=True)
+    assert int(cnt.min()) < scene.spheres.count  # some tile culls something
 
 
 def test_pallas_no_planes_no_lights():
