@@ -371,13 +371,109 @@ def _any_hit_multi(sph, ns, pln, npl, ox, oy, oz, dirs, *, compat, shape):
     return occs
 
 
+def _any_hit_capsule(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, lx, ly, lz,
+                     occ_ref, *, compat, shape):
+    """Rolled-scene shadow sweep with a runtime capsule cull per object chunk.
+
+    All shadow segments of this tile run from origins inside the tile's
+    (unmasked) origin AABB to the point light, so every segment lies within
+    ``half_diagonal`` of the segment box-center -> light: a sphere chunk whose
+    members all miss that capsule (by ``r + half_diag``) cannot occlude any
+    lane and its vector sweep is skipped via ``pl.when``. The capsule tests are
+    scalar-unit work (dynamic SMEM reads); occlusion accumulates in a VMEM
+    scratch ref because ``pl.when`` bodies cannot carry SSA values. Exact:
+    skipped chunks provably contribute nothing.
+    """
+    occ = jnp.zeros(shape, jnp.float32)
+    eps = 1e-3 if compat else 1e-8
+    for j in range(npl):
+        nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
+        den = dx * nx + dy * ny + dz * nz
+        den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+        num = (pln[0, j] - ox) * nx + (pln[1, j] - oy) * ny + (pln[2, j] - oz) * nz
+        t_j = num / den_safe
+        valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
+        if compat:
+            valid &= t_j < FAR
+        occ = jnp.maximum(occ, valid.astype(jnp.float32))
+    occ_ref[...] = occ
+
+    # tile origin AABB -> capsule axis (box center -> light), radius half-diag
+    blo = (jnp.min(ox), jnp.min(oy), jnp.min(oz))
+    bhi = (jnp.max(ox), jnp.max(oy), jnp.max(oz))
+    bx, by, bz = ((blo[0] + bhi[0]) * 0.5, (blo[1] + bhi[1]) * 0.5,
+                  (blo[2] + bhi[2]) * 0.5)
+    ex, ey, ez = bhi[0] - bx, bhi[1] - by, bhi[2] - bz
+    hdiag = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+    sx, sy, sz = lx - bx, ly - by, lz - bz
+    ss = jnp.maximum(sx * sx + sy * sy + sz * sz, 1e-12)
+
+    a = dx * dx + dy * dy + dz * dz
+    inv2a = 1.0 / (2.0 * a)
+    od = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
+
+    def sphere_occ(o, cx, cy, cz, r):
+        cd = cx * dx + cy * dy + cz * dz
+        oc = cx * ox + cy * oy + cz * oz
+        b = 2.0 * (od - cd)
+        c = oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
+        disc = b * b - 4.0 * a * c
+        has = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+        num_near = -b - sq
+        num_far = -b + sq
+        t_j = jnp.where(num_near > 0.0, num_near, num_far) * inv2a
+        valid = has & (num_far > 0.0)
+        if compat:
+            valid &= t_j < FAR
+        return jnp.maximum(o, valid.astype(jnp.float32))
+
+    def visible(j):
+        cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
+        wx, wy, wz = cx - bx, cy - by, cz - bz
+        ws = wx * sx + wy * sy + wz * sz
+        tt = jnp.clip(ws / ss, 0.0, 1.0)
+        d2 = (wx * wx + wy * wy + wz * wz) - 2.0 * tt * ws + tt * tt * ss
+        reach = r + hdiag + 1e-3
+        return d2 <= reach * reach
+
+    # while_loop with a scalar-only carry: combines the capsule cull with the
+    # tile-coherent early exit (stop once every lane is occluded — monotone).
+    def loop_cond(k):
+        return (k < ns // _CHUNK) & (jnp.min(occ_ref[...]) < 0.5)
+
+    def loop_body(k):
+        base = k * _CHUNK
+        vis = visible(base)
+        for q in range(1, _CHUNK):
+            vis = vis | visible(base + q)
+
+        @pl.when(vis)
+        def _():
+            o = occ_ref[...]
+            for q in range(_CHUNK):
+                j = base + q
+                o = sphere_occ(o, sph[0, j], sph[1, j], sph[2, j], sph[3, j])
+            occ_ref[...] = o
+        return k + 1
+
+    jax.lax.while_loop(loop_cond, loop_body, jnp.int32(0))
+    o = occ_ref[...]
+    for j in range((ns // _CHUNK) * _CHUNK, ns):
+        o = sphere_occ(o, sph[0, j], sph[1, j], sph[2, j], sph[3, j])
+    return o
+
+
 def _trace(params, sph, ns, pln, npl, lts, nl,
-           ox, oy, oz, dx, dy, dz, *, compat, shape, cull=None):
+           ox, oy, oz, dx, dy, dz, *, compat, shape, cull=None,
+           shadow_scratch=None):
     """One shading evaluation == reference ``trace`` (trace.py:45-112), tile-wide.
 
     Returns ``(r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive)``. ``cull`` (primary
     traces only) restricts the closest-hit sphere sweep to the tile's
-    cone-visible list."""
+    cone-visible list; ``shadow_scratch`` (a VMEM ref, rolled scenes) enables
+    the runtime capsule cull for shadow sweeps."""
     amb = params[_P_AMB]
     lamb = params[_P_LAMB]
     t, ar, ag, ab, qx, qy, qz, is_pl = _closest_hit(
@@ -413,6 +509,14 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
         if ns <= _UNROLL_LIMIT and npl <= _UNROLL_LIMIT:
             occs = _any_hit_multi(sph, ns, pln, npl, Px, Py, Pz, dirs,
                                   compat=compat, shape=shape)
+        elif shadow_scratch is not None and ns > _UNROLL_LIMIT:
+            sref = (shadow_scratch if shadow_scratch.shape == shape
+                    else shadow_scratch.at[0:shape[0], :])
+            occs = [_any_hit_capsule(sph, ns, pln, npl, Px, Py, Pz,
+                                     ldx, ldy, ldz,
+                                     lts[0, l], lts[1, l], lts[2, l], sref,
+                                     compat=compat, shape=shape)
+                    for l, (ldx, ldy, ldz) in enumerate(dirs)]
         else:
             occs = [_any_hit(sph, ns, pln, npl, Px, Py, Pz, lx, ly, lz,
                              compat=compat, shape=shape)
@@ -446,7 +550,7 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
 
 
 def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
-                  shape, cull=None):
+                  shape, cull=None, shadow_scratch=None):
     """Full sample evaluation: fractional pixel coords -> (r, g, b).
 
     Analytic ray generation + the unrolled bounce chain (value-flow form).
@@ -466,20 +570,20 @@ def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
     refl = params[_P_REFL]
     r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive = _trace(
         params, sph, ns, pln, npl, lts, nl, ox, oy, oz, dx, dy, dz,
-        compat=compat, shape=shape, cull=cull)
+        compat=compat, shape=shape, cull=cull, shadow_scratch=shadow_scratch)
     w = jnp.ones(shape, jnp.float32)
     for bounce in range(depth):
         w = w * refl * alive.astype(jnp.float32)
         r2, g2, b2, Px, Py, Pz, Rx, Ry, Rz, alive2 = _trace(
             params, sph, ns, pln, npl, lts, nl, Px, Py, Pz, Rx, Ry, Rz,
-            compat=compat, shape=shape)
+            compat=compat, shape=shape, shadow_scratch=shadow_scratch)
         r, g, b = r + w * r2, g + w * g2, b + w * b2
         alive = alive & alive2
     return r, g, b
 
 
 def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
-                           swap_xy=False, culled=False):
+                           swap_xy=False, culled=False, shadow_cull=False):
     """3x3-supersampled kernel with shared half-offset samples.
 
     The reference's AA samples are midpoints between adjacent pixel locations
@@ -497,8 +601,10 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
     shape_w = (TW + 8, TH)
 
     def kernel(params, sph, pln, lts, *rest):
-        (vis, cnt), (out_ref,) = (rest[:2], rest[2:]) if culled else ((None, None), rest)
-        cull = (vis, cnt) if culled else None
+        rest = list(rest)
+        cull = (rest.pop(0), rest.pop(0)) if culled else None
+        out_ref = rest.pop(0)
+        shadow_ref = rest.pop(0) if shadow_cull else None
         i = pl.program_id(0)
         j = pl.program_id(1)
         # su: sublane-axis pixel coordinate; sv: lane-axis pixel coordinate.
@@ -518,7 +624,7 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
             px, py = (u, v) if not swap_xy else (v, u)
             return _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py,
                                  depth=depth, compat=compat, shape=shp,
-                                 cull=cull)
+                                 cull=cull, shadow_scratch=shadow_ref)
 
         C = chain(su, sv, shape)
         UH = chain(suw, svw, shape_w)          # shared su-halves
@@ -552,7 +658,8 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
 
 
 def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
-                 predicate_bounces, swap_xy=False, culled=False):
+                 predicate_bounces, swap_xy=False, culled=False,
+                 shadow_cull=False):
     shape = (TW, TH)
 
     def kernel(params, sph, pln, lts, *rest):
@@ -562,6 +669,10 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
         else:
             out_ref, *scratch = rest
             cull = None
+        if shadow_cull:
+            shadow_ref, scratch = scratch[-1], scratch[:-1]
+        else:
+            shadow_ref = None
         if depth > 0 and predicate_bounces:
             (racc, gacc, bacc, sPx, sPy, sPz, sRx, sRy, sRz, sAl, sW) = scratch
         i = pl.program_id(0)
@@ -601,7 +712,7 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
         refl = params[_P_REFL]
         r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive = _trace(
             params, sph, ns, pln, npl, lts, nl, ox, oy, oz, dx, dy, dz,
-            compat=compat, shape=shape, cull=cull)
+            compat=compat, shape=shape, cull=cull, shadow_scratch=shadow_ref)
         if depth > 0 and predicate_bounces:
             # Whole-tile predication via pl.when + VMEM scratch accumulators:
             # sky/fully-dead tiles skip every bounce's intersection+shadow sweeps
@@ -622,7 +733,8 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                     r2, g2, b2, Px2, Py2, Pz2, Rx2, Ry2, Rz2, alive2 = _trace(
                         params, sph, ns, pln, npl, lts, nl,
                         sPx[...], sPy[...], sPz[...],
-                        sRx[...], sRy[...], sRz[...], compat=compat, shape=shape)
+                        sRx[...], sRy[...], sRz[...], compat=compat, shape=shape,
+                        shadow_scratch=shadow_ref)
                     racc[...] += w * r2
                     gacc[...] += w * g2
                     bacc[...] += w * b2
@@ -638,7 +750,7 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                 w = w * refl * alive.astype(jnp.float32)
                 r2, g2, b2, Px, Py, Pz, Rx, Ry, Rz, alive2 = _trace(
                     params, sph, ns, pln, npl, lts, nl, Px, Py, Pz, Rx, Ry, Rz,
-                    compat=compat, shape=shape)
+                    compat=compat, shape=shape, shadow_scratch=shadow_ref)
                 r, g, b = r + w * r2, g + w * g2, b + w * b2
                 alive = alive & alive2
 
@@ -754,7 +866,8 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
     if aliasing and aa_share:
         kernel = _make_kernel_aa_shared(W=W, H=H, TW=TW, TH=TH, depth=depth,
                                         ns=ns, npl=npl, nl=nl, compat=compat,
-                                        swap_xy=swap_xy, culled=culled)
+                                        swap_xy=swap_xy, culled=culled,
+                                        shadow_cull=culled)
         in_specs = [smem(), smem(), smem(), smem()]
         args = [params, sph, pln, lts]
         if culled:
@@ -764,12 +877,16 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
                 pl.BlockSpec((1, 1), lambda i, j: (i * n_v + j, 0),
                              memory_space=pltpu.SMEM)]
             args += [vis_idx, vis_cnt]
+        # shared-sample chains run at (TW+8, TH); the shadow-cull scratch is
+        # allocated at the widest chain shape and sliced for (TW, TH) chains
+        scratch = [pltpu.VMEM((TW + 8, TH), jnp.float32)] if culled else []
         out = pl.pallas_call(
             kernel,
             grid=(n_u, n_v),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((3, TW, TH), lambda i, j: (0, i, j)),
             out_shape=jax.ShapeDtypeStruct((3, U, V), jnp.float32),
+            scratch_shapes=scratch,
             interpret=interpret,
         )(*args)
         return (jnp.transpose(out, (2, 1, 0)) if swap_xy
@@ -778,7 +895,7 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
     kernel = _make_kernel(W=W, H=H, TW=TW, TH=TH, S=S, depth=depth, ns=ns,
                           npl=npl, nl=nl, compat=compat, aliasing=aliasing,
                           predicate_bounces=predicate_bounces, swap_xy=swap_xy,
-                          culled=culled)
+                          culled=culled, shadow_cull=culled)
     grid = (n_u, n_v, S)
     in_specs = [smem(), smem(), smem(), smem()]
     args = [params, sph, pln, lts]
@@ -790,6 +907,8 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
                          memory_space=pltpu.SMEM)]
         args += [vis_idx, vis_cnt]
     scratch = ([pltpu.VMEM((TW, TH), jnp.float32)] * 11) if (depth > 0 and predicate_bounces) else []
+    if culled:
+        scratch = scratch + [pltpu.VMEM((TW, TH), jnp.float32)]  # shadow cull
     out = pl.pallas_call(
         kernel,
         grid=grid,
