@@ -15,7 +15,11 @@ between ray generation and the final framebuffer block:
     array, kernels.py:32-41; here AA offsets are half-index shifts read from SMEM).
   * the scene SoA lives in SMEM (it is tiny: reference demo scene = 60 floats) and
     object sweeps broadcast per-object scalars against ``(TW, TH)`` ray tiles on the
-    VPU — unrolled for small scenes, ``fori_loop`` for large ones.
+    VPU — unrolled for small scenes; large scenes chunk-unroll 8 objects per
+    ``fori_loop`` iteration and add three exact accelerations: a conservative
+    per-tile cone cull for primary sweeps (:func:`_tile_visibility`), a runtime
+    origin-AABB capsule cull for shadow sweeps (:func:`_any_hit_capsule`), and a
+    tile-coherent early exit once every lane's shadow ray is occluded.
   * materials/camera are traced SMEM scalars: changing them does NOT recompile the
     kernel (the reference pays a numba re-JIT per refl_depth value, main.py:41-47).
 
