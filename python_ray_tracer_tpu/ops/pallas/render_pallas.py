@@ -257,15 +257,15 @@ def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape,
         # Primary sweep over this tile's visible-sphere index list only
         # (conservative cone cull — see _tile_visibility). Chunk-unrolled with
         # an in-range guard instead of a static tail (the count is traced).
-        vis_ref, cnt_ref = cull
-        count = cnt_ref[0, 0]
+        vis_ref, cnt_ref, tile_id = cull
+        count = cnt_ref[tile_id, 0]
 
         def cull_chunk(k, state):
             base = k * _CHUNK
             for q in range(_CHUNK):
                 jj = base + q
                 ok = jj < count
-                j = vis_ref[0, jnp.where(ok, jj, 0)]
+                j = vis_ref[tile_id, jnp.where(ok, jj, 0)]
                 state = one_s(j, state, extra_valid=ok)
             return state
 
@@ -606,11 +606,13 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
 
     def kernel(params, sph, pln, lts, *rest):
         rest = list(rest)
-        cull = (rest.pop(0), rest.pop(0)) if culled else None
+        vis_cnt = (rest.pop(0), rest.pop(0)) if culled else None
         out_ref = rest.pop(0)
         shadow_ref = rest.pop(0) if shadow_cull else None
         i = pl.program_id(0)
         j = pl.program_id(1)
+        cull = (vis_cnt[0], vis_cnt[1], i * pl.num_programs(1) + j) \
+            if culled else None
         # su: sublane-axis pixel coordinate; sv: lane-axis pixel coordinate.
         fu = (i * TW).astype(jnp.float32)
         fv = (j * TH).astype(jnp.float32)
@@ -669,7 +671,8 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
     def kernel(params, sph, pln, lts, *rest):
         if culled:
             vis, cnt, out_ref, *scratch = rest
-            cull = (vis, cnt)
+            cull = (vis, cnt,
+                    pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
         else:
             out_ref, *scratch = rest
             cull = None
@@ -862,7 +865,9 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     n_u, n_v = pl.cdiv(U, TW), pl.cdiv(V, TH)
-    culled = cull and ns > _UNROLL_LIMIT
+    # The visibility table is a full-array SMEM input (blocked SMEM specs must
+    # obey the (8,128) rule); cap its footprint to stay well inside SMEM.
+    culled = cull and ns > _UNROLL_LIMIT and n_u * n_v * ns <= 160_000
     if culled:
         vis_idx, vis_cnt = _tile_visibility(
             camera, scene, n_u=n_u, n_v=n_v, TW=TW, TH=TH, swap_xy=swap_xy,
@@ -875,11 +880,7 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
         in_specs = [smem(), smem(), smem(), smem()]
         args = [params, sph, pln, lts]
         if culled:
-            in_specs += [
-                pl.BlockSpec((1, ns), lambda i, j: (i * n_v + j, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1), lambda i, j: (i * n_v + j, 0),
-                             memory_space=pltpu.SMEM)]
+            in_specs += [smem(), smem()]
             args += [vis_idx, vis_cnt]
         # shared-sample chains run at (TW+8, TH); the shadow-cull scratch is
         # allocated at the widest chain shape and sliced for (TW, TH) chains
@@ -904,11 +905,7 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
     in_specs = [smem(), smem(), smem(), smem()]
     args = [params, sph, pln, lts]
     if culled:
-        in_specs += [
-            pl.BlockSpec((1, ns), lambda i, j, s: (i * n_v + j, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j, s: (i * n_v + j, 0),
-                         memory_space=pltpu.SMEM)]
+        in_specs += [smem(), smem()]
         args += [vis_idx, vis_cnt]
     scratch = ([pltpu.VMEM((TW, TH), jnp.float32)] * 11) if (depth > 0 and predicate_bounces) else []
     if culled:
