@@ -87,7 +87,9 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
     lamb = params[_P_LAMB]
 
     zeros = jnp.zeros(shape, jnp.float32)
-    t = jnp.full(shape, BIG, jnp.float32)
+    # compat far clip enforced by the strict winner test via t-init at FAR
+    # (reference trace.py:17,26) — no per-object compare.
+    t = jnp.full(shape, FAR if compat else BIG, jnp.float32)
     hit_obj = jnp.full(shape, -1.0, jnp.float32)  # index into [spheres++planes]
     a = dx * dx + dy * dy + dz * dz
     od = ox * dx + oy * dy + oz * dz
@@ -108,8 +110,6 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
         num_far = -b + sq
         t_j = jnp.where(num_near > 0.0, num_near, num_far) / (2.0 * a)
         valid = has & (num_far > 0.0)  # far root >= near root always
-        if compat:
-            valid &= t_j < FAR
         closer = valid & (t_j < t)
         t = jnp.where(closer, t_j, t)
         jf = jnp.float32(j) if isinstance(j, int) else j.astype(jnp.float32)
@@ -125,8 +125,6 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
         t_j = num / den_safe
         eps = 1e-3 if compat else 1e-8
         valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
-        if compat:
-            valid &= t_j < FAR
         closer = valid & (t_j < t)
         t = jnp.where(closer, t_j, t)
         hit_obj = jnp.where(closer, jnp.float32(ns + j), hit_obj)
@@ -738,7 +736,7 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
                                              "return_camera", "aliasing",
                                              "aa_share"))
 def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
-                       compat: bool = True, tile_w: int = 32, tile_h: int = 128,
+                       compat: bool = True, tile_w: int = 40, tile_h: int = 128,
                        interpret: bool = False, return_camera: bool = False,
                        aliasing: bool = False, aa_share: bool = False):
     """Fused backward: cotangent image ``(w, h, 3)`` -> scene-gradient pytree.
