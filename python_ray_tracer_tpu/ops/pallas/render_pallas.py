@@ -328,51 +328,66 @@ def _any_hit_multi(sph, ns, pln, npl, ox, oy, oz, dirs, *, compat, shape):
     """Shadow occlusion for several unit directions from the SAME origins.
 
     Hoists every origin-only term (o.o, per-object o.c and |c|^2-r^2, per-plane
-    numerators) out of the per-light loop — the per-(light, object) work drops to
-    the direction-dependent part only. Unrolled-scene path; callers fall back to
-    :func:`_any_hit` per light for rolled loops."""
+    numerators) out of the per-light loop — the per-(light, object) work drops
+    to the direction-dependent part only. Small scenes unroll the object axis;
+    large scenes chunk-unroll it with the same hoisting (the per-chunk sphere
+    scalars and origin terms are computed once and reused by every light)."""
+    nl = len(dirs)
     oo = ox * ox + oy * oy + oz * oz
-    cterms = []
-    for j in range(ns):
-        cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
-        oc = cx * ox + cy * oy + cz * oz
-        cterms.append(oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r))
-    pnums = []
-    for j in range(npl):
-        nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
-        pnums.append((pln[0, j] - ox) * nx + (pln[1, j] - oy) * ny +
-                     (pln[2, j] - oz) * nz)
     eps = 1e-3 if compat else 1e-8
-    occs = []
+    a_l, inv2a_l, od_l = [], [], []
     for (dx, dy, dz) in dirs:
-        occ = jnp.zeros(shape, jnp.float32)
         a = dx * dx + dy * dy + dz * dz
-        inv2a = 1.0 / (2.0 * a)
-        od = ox * dx + oy * dy + oz * dz
-        for j in range(ns):
-            cd = sph[0, j] * dx + sph[1, j] * dy + sph[2, j] * dz
-            b = 2.0 * (od - cd)
-            disc = b * b - 4.0 * a * cterms[j]
+        a_l.append(a)
+        inv2a_l.append(1.0 / (2.0 * a))
+        od_l.append(ox * dx + oy * dy + oz * dz)
+
+    def sphere_all_lights(occs, cx, cy, cz, r):
+        oc = cx * ox + cy * oy + cz * oz
+        cterm = oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
+        out = []
+        for l, (dx, dy, dz) in enumerate(dirs):
+            cd = cx * dx + cy * dy + cz * dz
+            b = 2.0 * (od_l[l] - cd)
+            disc = b * b - 4.0 * a_l[l] * cterm
             has = disc >= 0.0
             sq = jnp.sqrt(jnp.where(has, disc, 0.0))
             num_near = -b - sq
             num_far = -b + sq
-            t_j = jnp.where(num_near > 0.0, num_near, num_far) * inv2a
+            t_j = jnp.where(num_near > 0.0, num_near, num_far) * inv2a_l[l]
             valid = has & (num_far > 0.0)  # far root >= near root always
             if compat:
                 valid &= t_j < FAR
-            occ = jnp.maximum(occ, valid.astype(jnp.float32))
-        for j in range(npl):
-            nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
+            out.append(jnp.maximum(occs[l], valid.astype(jnp.float32)))
+        return tuple(out)
+
+    # Planes first (occlusion is order-free, and saturating lanes early lets
+    # the sphere fold's tile-coherent exit fire sooner on rolled scenes).
+    occs = [jnp.zeros(shape, jnp.float32) for _ in range(nl)]
+    for j in range(npl):
+        nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
+        pnum = ((pln[0, j] - ox) * nx + (pln[1, j] - oy) * ny +
+                (pln[2, j] - oz) * nz)
+        for l, (dx, dy, dz) in enumerate(dirs):
             den = dx * nx + dy * ny + dz * nz
             den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
-            t_j = pnums[j] / den_safe
+            t_j = pnum / den_safe
             valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
             if compat:
                 valid &= t_j < FAR
-            occ = jnp.maximum(occ, valid.astype(jnp.float32))
-        occs.append(occ)
-    return occs
+            occs[l] = jnp.maximum(occs[l], valid.astype(jnp.float32))
+
+    def _all_saturated(occs):
+        sat = jnp.min(occs[0]) > 0.5
+        for o in occs[1:]:
+            sat &= jnp.min(o) > 0.5
+        return sat
+
+    occs = _fold_objects_early_exit(
+        ns, lambda j, o: sphere_all_lights(o, sph[0, j], sph[1, j], sph[2, j],
+                                           sph[3, j]), tuple(occs),
+        done=_all_saturated)
+    return list(occs)
 
 
 def _any_hit_capsule(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, lx, ly, lz,
@@ -510,7 +525,8 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
             lx, ly, lz = lts[0, l] - Px, lts[1, l] - Py, lts[2, l] - Pz
             ln = _rnorm(lx, ly, lz)
             dirs.append((lx * ln, ly * ln, lz * ln))
-        if ns <= _UNROLL_LIMIT and npl <= _UNROLL_LIMIT:
+        if npl <= _UNROLL_LIMIT and (shadow_scratch is None or
+                                     ns <= _UNROLL_LIMIT):
             occs = _any_hit_multi(sph, ns, pln, npl, Px, Py, Pz, dirs,
                                   compat=compat, shape=shape)
         elif shadow_scratch is not None and ns > _UNROLL_LIMIT:
@@ -821,12 +837,14 @@ def _pack_params(camera, scene, compat, x_offset=0.0):
 
 @functools.partial(jax.jit, static_argnames=("depth", "aliasing", "compat",
                                              "tile_w", "tile_h", "interpret",
-                                             "local_width", "aa_share", "cull"))
+                                             "local_width", "aa_share", "cull",
+                                             "shadow_cull"))
 def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
                         compat: bool = True, tile_w: int = 40, tile_h: int = 128,
                         interpret: bool = False, x_offset=0.0,
                         local_width: int | None = None,
-                        aa_share: bool = True, cull: bool = True) -> jnp.ndarray:
+                        aa_share: bool = True, cull: bool = True,
+                        shadow_cull: bool = False) -> jnp.ndarray:
     """Fused-kernel render -> float ``(w, h, 3)`` image, matching
     :func:`..render.render_image` output bit-for-bit up to f32 reassociation.
 
@@ -868,6 +886,7 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
     # The visibility table is a full-array SMEM input (blocked SMEM specs must
     # obey the (8,128) rule); cap its footprint to stay well inside SMEM.
     culled = cull and ns > _UNROLL_LIMIT and n_u * n_v * ns <= 160_000
+    sh_cull = shadow_cull and ns > _UNROLL_LIMIT
     if culled:
         vis_idx, vis_cnt = _tile_visibility(
             camera, scene, n_u=n_u, n_v=n_v, TW=TW, TH=TH, swap_xy=swap_xy,
@@ -876,7 +895,7 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
         kernel = _make_kernel_aa_shared(W=W, H=H, TW=TW, TH=TH, depth=depth,
                                         ns=ns, npl=npl, nl=nl, compat=compat,
                                         swap_xy=swap_xy, culled=culled,
-                                        shadow_cull=culled)
+                                        shadow_cull=sh_cull)
         in_specs = [smem(), smem(), smem(), smem()]
         args = [params, sph, pln, lts]
         if culled:
@@ -884,7 +903,7 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
             args += [vis_idx, vis_cnt]
         # shared-sample chains run at (TW+8, TH); the shadow-cull scratch is
         # allocated at the widest chain shape and sliced for (TW, TH) chains
-        scratch = [pltpu.VMEM((TW + 8, TH), jnp.float32)] if culled else []
+        scratch = [pltpu.VMEM((TW + 8, TH), jnp.float32)] if sh_cull else []
         out = pl.pallas_call(
             kernel,
             grid=(n_u, n_v),
@@ -900,7 +919,7 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
     kernel = _make_kernel(W=W, H=H, TW=TW, TH=TH, S=S, depth=depth, ns=ns,
                           npl=npl, nl=nl, compat=compat, aliasing=aliasing,
                           predicate_bounces=predicate_bounces, swap_xy=swap_xy,
-                          culled=culled, shadow_cull=culled)
+                          culled=culled, shadow_cull=sh_cull)
     grid = (n_u, n_v, S)
     in_specs = [smem(), smem(), smem(), smem()]
     args = [params, sph, pln, lts]
@@ -908,7 +927,7 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
         in_specs += [smem(), smem()]
         args += [vis_idx, vis_cnt]
     scratch = ([pltpu.VMEM((TW, TH), jnp.float32)] * 11) if (depth > 0 and predicate_bounces) else []
-    if culled:
+    if sh_cull:
         scratch = scratch + [pltpu.VMEM((TW, TH), jnp.float32)]  # shadow cull
     out = pl.pallas_call(
         kernel,
