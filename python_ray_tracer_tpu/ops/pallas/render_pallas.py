@@ -126,7 +126,7 @@ def _fold_objects_early_exit(n, body, carry, done):
 
 
 def _tile_visibility(camera, scene, *, n_u, n_v, TW, TH, swap_xy, x_offset,
-                     compat):
+                     compat, K=None):
     """Conservative per-tile sphere visibility for the PRIMARY closest-hit sweep.
 
     For each pixel tile, bound its ray pencil by a cone through the four
@@ -137,8 +137,15 @@ def _tile_visibility(camera, scene, *, n_u, n_v, TW, TH, swap_xy, x_offset,
     it exactly and a culled sphere provably misses every used ray of the tile:
     the culled sweep's closest hit is bit-identical to the full sweep. Bounce
     and shadow sweeps cannot use this cone (their origins scatter) and stay
-    full. Returns visible-first index lists + counts, shapes
-    ``(n_u*n_v, ns) i32`` / ``(n_u*n_v, 1) i32``.
+    full. Returns visible-first index lists + counts as FLAT 1-D i32 arrays,
+    shapes ``(n_u*n_v*(K or ns),)`` / ``(n_u*n_v,)`` — SMEM windows are
+    allocated per row at ~512 B granularity (measured on v5e: an s32[1620,1]
+    column costs 812 KB of the 1 MB SMEM), so 2-D tables are ruinous and the
+    kernel indexes ``tile_id * K + slot`` into the flat list instead.
+
+    ``K`` caps the per-tile list width. Tiles whose visible count exceeds ``K``
+    get the sentinel count ``-1`` — the kernel falls back to sweeping all
+    spheres for those tiles, so the cull stays conservative at any ``K``.
     """
     ns = scene.spheres.count
     focal, y0, dy, z0, dz = camera.grid_params(compat)
@@ -175,8 +182,11 @@ def _tile_visibility(camera, scene, *, n_u, n_v, TW, TH, swap_xy, x_offset,
     visible = visible.reshape(n_u * n_v, ns)
     order = jnp.argsort(jnp.logical_not(visible).astype(jnp.int32),
                         axis=-1, stable=True).astype(jnp.int32)
-    cnt = jnp.sum(visible, axis=-1, dtype=jnp.int32)[:, None]
-    return order, cnt
+    cnt = jnp.sum(visible, axis=-1, dtype=jnp.int32)
+    if K is not None and K < ns:
+        order = order[:, :K]
+        cnt = jnp.where(cnt > K, jnp.int32(-1), cnt)
+    return order.reshape(-1), cnt
 
 
 def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape,
@@ -257,15 +267,24 @@ def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape,
         # Primary sweep over this tile's visible-sphere index list only
         # (conservative cone cull — see _tile_visibility). Chunk-unrolled with
         # an in-range guard instead of a static tail (the count is traced).
-        vis_ref, cnt_ref, tile_id = cull
-        count = cnt_ref[tile_id, 0]
+        # Sentinel count -1 = the tile's list overflowed its K slots: sweep all
+        # ns spheres by identity index so the cull is conservative at any K.
+        # The flat list is indexed tile_id*K + slot (see _tile_visibility on
+        # why SMEM tables must be 1-D).
+        vis_ref, cnt_ref, tile_id, K = cull
+        raw = cnt_ref[tile_id]
+        full = raw < 0
+        count = jnp.where(full, ns, raw)
+        base_idx = tile_id * K
 
         def cull_chunk(k, state):
             base = k * _CHUNK
             for q in range(_CHUNK):
                 jj = base + q
                 ok = jj < count
-                j = vis_ref[tile_id, jnp.where(ok, jj, 0)]
+                jj_safe = jnp.where(ok, jj, 0)
+                j = jnp.where(full, jj_safe,
+                              vis_ref[base_idx + jnp.minimum(jj_safe, K - 1)])
                 state = one_s(j, state, extra_valid=ok)
             return state
 
@@ -603,7 +622,8 @@ def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
 
 
 def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
-                           swap_xy=False, culled=False, shadow_cull=False):
+                           swap_xy=False, culled=False, shadow_cull=False,
+                           vis_k=0):
     """3x3-supersampled kernel with shared half-offset samples.
 
     The reference's AA samples are midpoints between adjacent pixel locations
@@ -627,7 +647,7 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
         shadow_ref = rest.pop(0) if shadow_cull else None
         i = pl.program_id(0)
         j = pl.program_id(1)
-        cull = (vis_cnt[0], vis_cnt[1], i * pl.num_programs(1) + j) \
+        cull = (vis_cnt[0], vis_cnt[1], i * pl.num_programs(1) + j, vis_k) \
             if culled else None
         # su: sublane-axis pixel coordinate; sv: lane-axis pixel coordinate.
         fu = (i * TW).astype(jnp.float32)
@@ -681,14 +701,15 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
 
 def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                  predicate_bounces, swap_xy=False, culled=False,
-                 shadow_cull=False):
+                 shadow_cull=False, vis_k=0):
     shape = (TW, TH)
 
     def kernel(params, sph, pln, lts, *rest):
         if culled:
             vis, cnt, out_ref, *scratch = rest
             cull = (vis, cnt,
-                    pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+                    pl.program_id(0) * pl.num_programs(1) + pl.program_id(1),
+                    vis_k)
         else:
             out_ref, *scratch = rest
             cull = None
@@ -883,19 +904,24 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     n_u, n_v = pl.cdiv(U, TW), pl.cdiv(V, TH)
-    # The visibility table is a full-array SMEM input (blocked SMEM specs must
-    # obey the (8,128) rule); cap its footprint to stay well inside SMEM.
-    culled = cull and ns > _UNROLL_LIMIT and n_u * n_v * ns <= 160_000
+    # The visibility table is a FLAT 1-D full-array SMEM input: blocked SMEM
+    # specs must obey the (8,128) rule, and 2-D SMEM windows allocate ~512 B
+    # per ROW of the 1 MB SMEM space (measured on v5e: an s32[1620,1] column
+    # costs 812 KB — see _tile_visibility). Per-tile lists are compacted to
+    # K=32 slots (demo scenes peak at ~8 visible spheres/tile; overflow tiles
+    # fall back to a full sweep via the -1 sentinel).
+    vis_k = min(ns, 32)
+    culled = cull and ns > _UNROLL_LIMIT and n_u * n_v * vis_k <= 160_000
     sh_cull = shadow_cull and ns > _UNROLL_LIMIT
     if culled:
         vis_idx, vis_cnt = _tile_visibility(
             camera, scene, n_u=n_u, n_v=n_v, TW=TW, TH=TH, swap_xy=swap_xy,
-            x_offset=x_offset, compat=compat)
+            x_offset=x_offset, compat=compat, K=vis_k)
     if aliasing and aa_share:
         kernel = _make_kernel_aa_shared(W=W, H=H, TW=TW, TH=TH, depth=depth,
                                         ns=ns, npl=npl, nl=nl, compat=compat,
                                         swap_xy=swap_xy, culled=culled,
-                                        shadow_cull=sh_cull)
+                                        shadow_cull=sh_cull, vis_k=vis_k)
         in_specs = [smem(), smem(), smem(), smem()]
         args = [params, sph, pln, lts]
         if culled:
@@ -919,7 +945,7 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
     kernel = _make_kernel(W=W, H=H, TW=TW, TH=TH, S=S, depth=depth, ns=ns,
                           npl=npl, nl=nl, compat=compat, aliasing=aliasing,
                           predicate_bounces=predicate_bounces, swap_xy=swap_xy,
-                          culled=culled, shadow_cull=sh_cull)
+                          culled=culled, shadow_cull=sh_cull, vis_k=vis_k)
     grid = (n_u, n_v, S)
     in_specs = [smem(), smem(), smem(), smem()]
     args = [params, sph, pln, lts]

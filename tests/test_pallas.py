@@ -105,6 +105,25 @@ def test_pallas_cone_cull_exact(aliasing, aa_share, depth):
     assert int(cnt.min()) < scene.spheres.count  # some tile culls something
 
 
+def test_pallas_cull_k_overflow_sentinel():
+    """Tiles whose visible-sphere list overflows its K slots must fall back to a
+    full sweep (sentinel count -1), keeping the compact table conservative."""
+    from python_ray_tracer_tpu.ops.pallas.render_pallas import _tile_visibility
+    scene = rt.random_scene(jax.random.key(3), n_spheres=40)
+    # Camera pulled far back: every sphere fits inside each tile's cone, so
+    # per-tile counts exceed K and every tile takes the sentinel path.
+    cam = rt.Camera.build((16, 16), [-60, 0, 3], [0, -5, 0])
+    idx, cnt = _tile_visibility(cam, scene, n_u=2, n_v=2, TW=8, TH=8,
+                                swap_xy=False, x_offset=0.0, compat=True, K=8)
+    assert idx.shape == (4 * 8,) and cnt.shape == (4,)
+    assert int(cnt.max()) == -1  # at least one overflow tile
+    kw = dict(depth=1, aliasing=False, compat=True, tile_w=8, tile_h=8,
+              interpret=True)
+    a = np.asarray(render_image_pallas(cam, scene, cull=True, **kw))
+    b = np.asarray(render_image_pallas(cam, scene, cull=False, **kw))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pallas_no_planes_no_lights():
     scene = rt.Scene(rt.Spheres.build([([3.0, 0.0, 0.0], 1.0, rt.RED)]),
                      rt.Planes.build([]), rt.Lights.build([]),
