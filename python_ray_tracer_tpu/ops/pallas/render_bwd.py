@@ -46,7 +46,8 @@ from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
                             _P_DZ, _P_AMB, _P_LAMB, _P_REFL, _P_SPEC, _P_SHIN,
                             _P_X0, _P_OFFS,
                             AA_OFFSETS, _pack_params, _UNROLL_LIMIT, FAR, BIAS,
-                            BIG, _rnorm, _fold_objects)
+                            BIG, _rnorm, _fold_objects, _sphere_occ_cheap,
+                            _shadow_cheap_ok)
 
 _DEN_EPS = 1e-6   # grazing-hit clamp for implicit-function t adjoints
 
@@ -79,7 +80,8 @@ def _fold_spheres(ns, body, carry):
     return _fold_objects(ns, body, carry)
 
 
-def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
+def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
+                   cheap_shadow=True):
     """Forward trace storing every residual the reverse sweep needs."""
     ox, oy, oz = o
     dx, dy, dz = d
@@ -194,22 +196,30 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape):
         ww = wx * wx + wy * wy + wz * wz
         lrn = jax.lax.rsqrt(jnp.where(ww <= 1e-20, 1.0, ww))
         Lx, Ly, Lz = wx * lrn, wy * lrn, wz * lrn
-        # occlusion sweep (mask only)
+        # occlusion sweep (mask only; no gradient flows through it). The
+        # cheap branch mirrors the forward kernel's _sphere_occ_cheap
+        # arithmetic exactly so the recomputed mask matches the forward's
+        # occlusion bit-for-bit.
         occ = jnp.zeros(shape, jnp.float32)
         a_l = Lx * Lx + Ly * Ly + Lz * Lz
+        inv2a_l = 1.0 / (2.0 * a_l)
+        inva_l = inv2a_l + inv2a_l
         od_l = Pbx * Lx + Pby * Ly + Pbz * Lz
         oo_l = Pbx * Pbx + Pby * Pby + Pbz * Pbz
         def _occ_body(j, occ):
             cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
             cd = cx * Lx + cy * Ly + cz * Lz
             oc = cx * Pbx + cy * Pby + cz * Pbz
-            b = 2.0 * (od_l - cd)
             c = oo_l - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
+            if cheap_shadow:
+                valid = _sphere_occ_cheap(c, cd - od_l, a_l, inva_l, compat)
+                return jnp.maximum(occ, valid.astype(jnp.float32))
+            b = 2.0 * (od_l - cd)
             disc = b * b - 4.0 * a_l * c
             has = disc >= 0.0
             sq = jnp.sqrt(jnp.where(has, disc, 0.0))
             nn, nf = -b - sq, -b + sq
-            t_j = jnp.where(nn > 0.0, nn, nf) / (2.0 * a_l)
+            t_j = jnp.where(nn > 0.0, nn, nf) * inv2a_l
             valid = has & (nf > 0.0)  # far root >= near root always
             if compat:
                 valid &= t_j < FAR
@@ -512,7 +522,8 @@ def grad_layout(ns, npl, nl):
 
 
 def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
-                     swap_xy=False, aliasing=False, aa_share=False):
+                     swap_xy=False, aliasing=False, aa_share=False,
+                     cheap_shadow=True):
     shape = (TW, TH)
     shape_w = (TW + 8, TH)   # +1 logical shared-sample row, padded to sublanes
     slots, n_grads = grad_layout(ns, npl, nl)
@@ -592,7 +603,7 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
             for bounce in range(depth + 1):
                 rgb, o_next, d_next, alive, res = _fwd_trace_res(
                     params, sph, ns, pln, npl, lts, nl, o_cur, d_cur,
-                    compat=compat, shape=shp)
+                    compat=compat, shape=shp, cheap_shadow=cheap_shadow)
                 traces.append(dict(rgb=rgb, res=res, weight=weight,
                                    aliveprod=aliveprod, bounce=bounce))
                 aliveprod = aliveprod * res["alive_f"]
@@ -731,14 +742,31 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
     return kernel, n_grads
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "compat", "tile_w",
-                                             "tile_h", "interpret",
-                                             "return_camera", "aliasing",
-                                             "aa_share"))
 def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                        compat: bool = True, tile_w: int = 40, tile_h: int = 128,
                        interpret: bool = False, return_camera: bool = False,
-                       aliasing: bool = False, aa_share: bool = False):
+                       aliasing: bool = False, aa_share: bool = False,
+                       cheap_shadow: bool | None = None):
+    """Fused backward (see _scene_grads_pallas). This un-jitted wrapper only
+    resolves the sqrt-free shadow-sweep guard while the scene is concrete."""
+    if cheap_shadow is None:
+        cheap_shadow = _shadow_cheap_ok(scene, compat)
+    return _scene_grads_pallas(camera, scene, g_image, depth=depth,
+                               compat=compat, tile_w=tile_w, tile_h=tile_h,
+                               interpret=interpret, return_camera=return_camera,
+                               aliasing=aliasing, aa_share=aa_share,
+                               cheap_shadow=cheap_shadow)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "compat", "tile_w",
+                                             "tile_h", "interpret",
+                                             "return_camera", "aliasing",
+                                             "aa_share", "cheap_shadow"))
+def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
+                        compat: bool = True, tile_w: int = 40, tile_h: int = 128,
+                        interpret: bool = False, return_camera: bool = False,
+                        aliasing: bool = False, aa_share: bool = False,
+                        cheap_shadow: bool = True):
     """Fused backward: cotangent image ``(w, h, 3)`` -> scene-gradient pytree.
 
     Matches ``jax.vjp`` of the jnp path. With ``return_camera=True`` also
@@ -780,7 +808,8 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     kernel, n_grads = _make_bwd_kernel(W=W, H=H, TW=TW, TH=TH, depth=depth,
                                        ns=ns, npl=npl, nl=nl, compat=compat,
                                        swap_xy=swap_xy, aliasing=aliasing,
-                                       aa_share=aa_share)
+                                       aa_share=aa_share,
+                                       cheap_shadow=cheap_shadow)
     g_chw = jnp.moveaxis(g_image.astype(jnp.float32), -1, 0)  # (3, W, H)
     if swap_xy:
         g_chw = jnp.transpose(g_chw, (0, 2, 1))               # (3, H, W)

@@ -296,19 +296,42 @@ def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape,
     return state
 
 
-def _any_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
+def _sphere_occ_cheap(cterm, g, a, inv_a, compat):
+    """Sqrt-free sphere occlusion: segment-vs-ball closest-approach test.
+
+    The ray hits the ball within the compat far clip iff the squared distance
+    at the clamped closest-approach parameter ``tc = clamp(g/a, 0, FAR)`` is
+    <= r^2, i.e. ``cterm <= tc*(2g - a*tc)`` (``g = d.(c-o)``, ``cterm =
+    |o-c|^2 - r^2``). Exact vs the reference root-selection semantics
+    (trace.py:92-96 + intersections.py:7-38) for every case — behind-origin,
+    inside-sphere, far-clip — except spheres with radius >= FAR/2 whose far
+    root can pass 999 while the segment is still inside (the caller falls back
+    to the root-form sweep for such scenes; see ``render_image_pallas``), and
+    exact-tie boundaries (strict ``<`` vs ``<=`` — measure-zero, same class as
+    the kernel's documented near-tie pixel flips)."""
+    tc = g * inv_a
+    tc = jnp.clip(tc, 0.0, FAR) if compat else jnp.maximum(tc, 0.0)
+    return cterm <= tc * (2.0 * g - a * tc)
+
+
+def _any_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape,
+             cheap=True):
     """Occlusion-only sweep (shadow rays) — single boolean carry."""
     occ = jnp.zeros(shape, jnp.float32)
     a = dx * dx + dy * dy + dz * dz
     inv2a = 1.0 / (2.0 * a)
+    inv_a = inv2a + inv2a
     od = ox * dx + oy * dy + oz * dz
     oo = ox * ox + oy * oy + oz * oz
 
     def sphere_occ(occ, cx, cy, cz, r):
         cd = cx * dx + cy * dy + cz * dz
         oc = cx * ox + cy * oy + cz * oz
-        b = 2.0 * (od - cd)
         c = oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
+        if cheap:
+            valid = _sphere_occ_cheap(c, cd - od, a, inv_a, compat)
+            return jnp.maximum(occ, valid.astype(jnp.float32))
+        b = 2.0 * (od - cd)
         disc = b * b - 4.0 * a * c
         has = disc >= 0.0
         sq = jnp.sqrt(jnp.where(has, disc, 0.0))
@@ -343,14 +366,16 @@ def _any_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape):
     return occ
 
 
-def _any_hit_multi(sph, ns, pln, npl, ox, oy, oz, dirs, *, compat, shape):
+def _any_hit_multi(sph, ns, pln, npl, ox, oy, oz, dirs, *, compat, shape,
+                   cheap=True):
     """Shadow occlusion for several unit directions from the SAME origins.
 
     Hoists every origin-only term (o.o, per-object o.c and |c|^2-r^2, per-plane
     numerators) out of the per-light loop — the per-(light, object) work drops
     to the direction-dependent part only. Small scenes unroll the object axis;
     large scenes chunk-unroll it with the same hoisting (the per-chunk sphere
-    scalars and origin terms are computed once and reused by every light)."""
+    scalars and origin terms are computed once and reused by every light).
+    ``cheap`` selects the sqrt-free segment test (see _sphere_occ_cheap)."""
     nl = len(dirs)
     oo = ox * ox + oy * oy + oz * oz
     eps = 1e-3 if compat else 1e-8
@@ -360,6 +385,7 @@ def _any_hit_multi(sph, ns, pln, npl, ox, oy, oz, dirs, *, compat, shape):
         a_l.append(a)
         inv2a_l.append(1.0 / (2.0 * a))
         od_l.append(ox * dx + oy * dy + oz * dz)
+    inva_l = [v + v for v in inv2a_l]
 
     def sphere_all_lights(occs, cx, cy, cz, r):
         oc = cx * ox + cy * oy + cz * oz
@@ -367,6 +393,11 @@ def _any_hit_multi(sph, ns, pln, npl, ox, oy, oz, dirs, *, compat, shape):
         out = []
         for l, (dx, dy, dz) in enumerate(dirs):
             cd = cx * dx + cy * dy + cz * dz
+            if cheap:
+                valid = _sphere_occ_cheap(cterm, cd - od_l[l], a_l[l],
+                                          inva_l[l], compat)
+                out.append(jnp.maximum(occs[l], valid.astype(jnp.float32)))
+                continue
             b = 2.0 * (od_l[l] - cd)
             disc = b * b - 4.0 * a_l[l] * cterm
             has = disc >= 0.0
@@ -410,7 +441,7 @@ def _any_hit_multi(sph, ns, pln, npl, ox, oy, oz, dirs, *, compat, shape):
 
 
 def _any_hit_capsule(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, lx, ly, lz,
-                     occ_ref, *, compat, shape):
+                     occ_ref, *, compat, shape, cheap=True):
     """Rolled-scene shadow sweep with a runtime capsule cull per object chunk.
 
     All shadow segments of this tile run from origins inside the tile's
@@ -448,14 +479,18 @@ def _any_hit_capsule(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, lx, ly, lz,
 
     a = dx * dx + dy * dy + dz * dz
     inv2a = 1.0 / (2.0 * a)
+    inv_a = inv2a + inv2a
     od = ox * dx + oy * dy + oz * dz
     oo = ox * ox + oy * oy + oz * oz
 
     def sphere_occ(o, cx, cy, cz, r):
         cd = cx * dx + cy * dy + cz * dz
         oc = cx * ox + cy * oy + cz * oz
-        b = 2.0 * (od - cd)
         c = oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
+        if cheap:
+            valid = _sphere_occ_cheap(c, cd - od, a, inv_a, compat)
+            return jnp.maximum(o, valid.astype(jnp.float32))
+        b = 2.0 * (od - cd)
         disc = b * b - 4.0 * a * c
         has = disc >= 0.0
         sq = jnp.sqrt(jnp.where(has, disc, 0.0))
@@ -505,7 +540,7 @@ def _any_hit_capsule(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, lx, ly, lz,
 
 def _trace(params, sph, ns, pln, npl, lts, nl,
            ox, oy, oz, dx, dy, dz, *, compat, shape, cull=None,
-           shadow_scratch=None):
+           shadow_scratch=None, cheap_shadow=True, sph_sh=None):
     """One shading evaluation == reference ``trace`` (trace.py:45-112), tile-wide.
 
     Returns ``(r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive)``. ``cull`` (primary
@@ -539,6 +574,11 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
     rx, ry, rz = rx * rn, ry * rn, rz * rn
 
     if nl:
+        # Shadow sweeps read the (4, ns) angular-size-sorted sphere table when
+        # provided: occlusion accumulates order-free, and scanning the biggest
+        # apparent occluders first makes the tile-coherent early exit fire in
+        # fewer chunks. Results are bit-identical to the unsorted sweep.
+        ssph = sph if sph_sh is None else sph_sh
         dirs = []
         for l in range(nl):
             lx, ly, lz = lts[0, l] - Px, lts[1, l] - Py, lts[2, l] - Pz
@@ -546,19 +586,21 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
             dirs.append((lx * ln, ly * ln, lz * ln))
         if npl <= _UNROLL_LIMIT and (shadow_scratch is None or
                                      ns <= _UNROLL_LIMIT):
-            occs = _any_hit_multi(sph, ns, pln, npl, Px, Py, Pz, dirs,
-                                  compat=compat, shape=shape)
+            occs = _any_hit_multi(ssph, ns, pln, npl, Px, Py, Pz, dirs,
+                                  compat=compat, shape=shape,
+                                  cheap=cheap_shadow)
         elif shadow_scratch is not None and ns > _UNROLL_LIMIT:
             sref = (shadow_scratch if shadow_scratch.shape == shape
-                    else shadow_scratch.at[0:shape[0], :])
-            occs = [_any_hit_capsule(sph, ns, pln, npl, Px, Py, Pz,
+                    else shadow_scratch.at[0:shape[0], 0:shape[1]])
+            occs = [_any_hit_capsule(ssph, ns, pln, npl, Px, Py, Pz,
                                      ldx, ldy, ldz,
                                      lts[0, l], lts[1, l], lts[2, l], sref,
-                                     compat=compat, shape=shape)
+                                     compat=compat, shape=shape,
+                                     cheap=cheap_shadow)
                     for l, (ldx, ldy, ldz) in enumerate(dirs)]
         else:
-            occs = [_any_hit(sph, ns, pln, npl, Px, Py, Pz, lx, ly, lz,
-                             compat=compat, shape=shape)
+            occs = [_any_hit(ssph, ns, pln, npl, Px, Py, Pz, lx, ly, lz,
+                             compat=compat, shape=shape, cheap=cheap_shadow)
                     for (lx, ly, lz) in dirs]
         spec_sum = None
         for (lx, ly, lz), occ in zip(dirs, occs):
@@ -589,7 +631,8 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
 
 
 def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
-                  shape, cull=None, shadow_scratch=None):
+                  shape, cull=None, shadow_scratch=None, cheap_shadow=True,
+                  sph_sh=None, bounce_scratch=None):
     """Full sample evaluation: fractional pixel coords -> (r, g, b).
 
     Analytic ray generation + the unrolled bounce chain (value-flow form).
@@ -609,13 +652,48 @@ def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
     refl = params[_P_REFL]
     r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive = _trace(
         params, sph, ns, pln, npl, lts, nl, ox, oy, oz, dx, dy, dz,
-        compat=compat, shape=shape, cull=cull, shadow_scratch=shadow_scratch)
+        compat=compat, shape=shape, cull=cull, shadow_scratch=shadow_scratch,
+        cheap_shadow=cheap_shadow, sph_sh=sph_sh)
+    if bounce_scratch is not None and depth > 0:
+        # Whole-tile bounce predication (same scheme as _make_kernel's no-AA
+        # path): dead/sky tiles skip every bounce's intersection + shadow
+        # sweep. State lives in VMEM scratch refs (lax.cond with vector
+        # results does not legalize in Mosaic); the refs are allocated at the
+        # widest chain shape and sliced down for narrower chains.
+        refs = [ref if ref.shape == shape else ref.at[0:shape[0], 0:shape[1]]
+                for ref in bounce_scratch]
+        racc, gacc, bacc, sPx, sPy, sPz, sRx, sRy, sRz, sAl, sW = refs
+        racc[...], gacc[...], bacc[...] = r, g, b
+        sPx[...], sPy[...], sPz[...] = Px, Py, Pz
+        sRx[...], sRy[...], sRz[...] = Rx, Ry, Rz
+        sAl[...] = alive.astype(jnp.float32)
+        sW[...] = jnp.full(shape, 1.0, jnp.float32)
+        for bounce in range(depth):
+            @pl.when(jnp.max(sAl[...]) > 0.5)
+            def _bounce(bounce=bounce):
+                alive_old = sAl[...]
+                w = sW[...] * refl * alive_old
+                sW[...] = w
+                r2, g2, b2, Px2, Py2, Pz2, Rx2, Ry2, Rz2, alive2 = _trace(
+                    params, sph, ns, pln, npl, lts, nl,
+                    sPx[...], sPy[...], sPz[...],
+                    sRx[...], sRy[...], sRz[...], compat=compat, shape=shape,
+                    shadow_scratch=shadow_scratch, cheap_shadow=cheap_shadow,
+                    sph_sh=sph_sh)
+                racc[...] += w * r2
+                gacc[...] += w * g2
+                bacc[...] += w * b2
+                sPx[...], sPy[...], sPz[...] = Px2, Py2, Pz2
+                sRx[...], sRy[...], sRz[...] = Rx2, Ry2, Rz2
+                sAl[...] = alive_old * alive2.astype(jnp.float32)
+        return racc[...], gacc[...], bacc[...]
     w = jnp.ones(shape, jnp.float32)
     for bounce in range(depth):
         w = w * refl * alive.astype(jnp.float32)
         r2, g2, b2, Px, Py, Pz, Rx, Ry, Rz, alive2 = _trace(
             params, sph, ns, pln, npl, lts, nl, Px, Py, Pz, Rx, Ry, Rz,
-            compat=compat, shape=shape, shadow_scratch=shadow_scratch)
+            compat=compat, shape=shape, shadow_scratch=shadow_scratch,
+            cheap_shadow=cheap_shadow, sph_sh=sph_sh)
         r, g, b = r + w * r2, g + w * g2, b + w * b2
         alive = alive & alive2
     return r, g, b
@@ -623,28 +701,39 @@ def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
 
 def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
                            swap_xy=False, culled=False, shadow_cull=False,
-                           vis_k=0):
-    """3x3-supersampled kernel with shared half-offset samples.
+                           vis_k=0, cheap_shadow=True, shadow_sort=False,
+                           predicate_bounces=False):
+    """3x3-supersampled kernel with fully shared half-offset samples.
 
     The reference's AA samples are midpoints between adjacent pixel locations
-    (kernels.py:43-50), so each half-offset sample along the *sublane* axis is
-    identical for two adjacent pixels. Six sample grids per tile replace nine
-    per-pixel samples: centers, a (+1-padded) shared half grid along the sublane
-    axis, two unshared half grids along the lane axis, and two shared corner
-    grids — 6.75/9 of the sample work, bit-identical results. Sublane (+8)
-    padding is cheap; lane padding is not, hence sharing only on sublanes.
+    (kernels.py:43-50), so every half-offset sample is identical for 2 (edge
+    midpoints) or 4 (corners) adjacent pixels. FOUR sample grids per tile
+    replace nine per-pixel samples: centers ``C`` (TW, TH), the sublane-axis
+    half grid ``UH`` (TW+8, TH), the lane-axis half grid ``V`` (TW, TH+1), and
+    the corner grid ``UV`` (TW+8, TH+1) — each pixel then taps 1+2+2+4 entries.
+    Unique sample positions are 4/9 of the naive count; the realized cost is
+    ``1 + (TW+8)/TW * (1 + f) + f`` units where ``f = ceil((TH+1)/128)*128/TH``
+    is the lane-padding factor of the +1 halo column (sublane padding is cheap,
+    lane padding rounds to the 128-lane vreg) — 6.6u at TH=128, 4.84u at
+    TH=640, vs 9u unshared. Results are bit-identical per sample; only the
+    neighbor summation order differs from the per-sample kernel.
 
     ``swap_xy`` puts image y on sublanes and x on lanes — chosen when it wastes
     fewer padded lanes (e.g. 1920x1080: W is a lane multiple, H is not).
     """
     shape = (TW, TH)
-    shape_w = (TW + 8, TH)
+    shape_w = (TW + 8, TH)       # +1 logical shared row, sublane-padded
+    shape_v = (TW, TH + 1)       # +1 shared lane column
+    shape_wv = (TW + 8, TH + 1)
 
     def kernel(params, sph, pln, lts, *rest):
         rest = list(rest)
+        sph_sh = rest.pop(0) if shadow_sort else None
         vis_cnt = (rest.pop(0), rest.pop(0)) if culled else None
         out_ref = rest.pop(0)
         shadow_ref = rest.pop(0) if shadow_cull else None
+        bscratch = (tuple(rest.pop(0) for _ in range(11))
+                    if (predicate_bounces and depth > 0) else None)
         i = pl.program_id(0)
         j = pl.program_id(1)
         cull = (vis_cnt[0], vis_cnt[1], i * pl.num_programs(1) + j, vis_k) \
@@ -656,30 +745,34 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
             fu = fu + params[_P_X0]
         else:
             fv = fv + params[_P_X0]
-        su = fu + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
-        sv = fv + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
-        suw = (fu - 0.5 +
-               jax.lax.broadcasted_iota(jnp.int32, shape_w, 0).astype(jnp.float32))
-        svw = fv + jax.lax.broadcasted_iota(jnp.int32, shape_w, 1).astype(jnp.float32)
+        def iotas(shp, du, dv):
+            u = (fu + du +
+                 jax.lax.broadcasted_iota(jnp.int32, shp, 0).astype(jnp.float32))
+            v = (fv + dv +
+                 jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(jnp.float32))
+            return u, v
 
-        def chain(u, v, shp):
+        su, sv = iotas(shape, 0.0, 0.0)
+
+        def chain(shp, du, dv):
+            u, v = iotas(shp, du, dv)
             px, py = (u, v) if not swap_xy else (v, u)
             return _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py,
                                  depth=depth, compat=compat, shape=shp,
-                                 cull=cull, shadow_scratch=shadow_ref)
+                                 cull=cull, shadow_scratch=shadow_ref,
+                                 cheap_shadow=cheap_shadow, sph_sh=sph_sh,
+                                 bounce_scratch=bscratch)
 
-        C = chain(su, sv, shape)
-        UH = chain(suw, svw, shape_w)          # shared su-halves
-        VT = chain(su, sv - 0.5, shape)
-        VB = chain(su, sv + 0.5, shape)
-        UVT = chain(suw, svw - 0.5, shape_w)   # shared corners
-        UVB = chain(suw, svw + 0.5, shape_w)
+        C = chain(shape, 0.0, 0.0)
+        UH = chain(shape_w, -0.5, 0.0)         # shared sublane-axis halves
+        V = chain(shape_v, 0.0, -0.5)          # shared lane-axis halves
+        UV = chain(shape_wv, -0.5, -0.5)       # shared corners (4-way)
 
         def nsum(c):
             return (UH[c][0:TW] + UH[c][1:TW + 1] +
-                    VT[c] + VB[c] +
-                    UVT[c][0:TW] + UVT[c][1:TW + 1] +
-                    UVB[c][0:TW] + UVB[c][1:TW + 1])
+                    V[c][:, 0:TH] + V[c][:, 1:TH + 1] +
+                    UV[c][0:TW, 0:TH] + UV[c][1:TW + 1, 0:TH] +
+                    UV[c][0:TW, 1:TH + 1] + UV[c][1:TW + 1, 1:TH + 1])
 
         nr, ng, nb = nsum(0), nsum(1), nsum(2)
         pr, pg, pb = C
@@ -701,10 +794,13 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
 
 def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                  predicate_bounces, swap_xy=False, culled=False,
-                 shadow_cull=False, vis_k=0):
+                 shadow_cull=False, vis_k=0, cheap_shadow=True,
+                 shadow_sort=False):
     shape = (TW, TH)
 
     def kernel(params, sph, pln, lts, *rest):
+        rest = list(rest)
+        sph_sh = rest.pop(0) if shadow_sort else None
         if culled:
             vis, cnt, out_ref, *scratch = rest
             cull = (vis, cnt,
@@ -756,7 +852,8 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
         refl = params[_P_REFL]
         r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive = _trace(
             params, sph, ns, pln, npl, lts, nl, ox, oy, oz, dx, dy, dz,
-            compat=compat, shape=shape, cull=cull, shadow_scratch=shadow_ref)
+            compat=compat, shape=shape, cull=cull, shadow_scratch=shadow_ref,
+            cheap_shadow=cheap_shadow, sph_sh=sph_sh)
         if depth > 0 and predicate_bounces:
             # Whole-tile predication via pl.when + VMEM scratch accumulators:
             # sky/fully-dead tiles skip every bounce's intersection+shadow sweeps
@@ -778,7 +875,8 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                         params, sph, ns, pln, npl, lts, nl,
                         sPx[...], sPy[...], sPz[...],
                         sRx[...], sRy[...], sRz[...], compat=compat, shape=shape,
-                        shadow_scratch=shadow_ref)
+                        shadow_scratch=shadow_ref, cheap_shadow=cheap_shadow,
+                        sph_sh=sph_sh)
                     racc[...] += w * r2
                     gacc[...] += w * g2
                     bacc[...] += w * b2
@@ -794,7 +892,8 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                 w = w * refl * alive.astype(jnp.float32)
                 r2, g2, b2, Px, Py, Pz, Rx, Ry, Rz, alive2 = _trace(
                     params, sph, ns, pln, npl, lts, nl, Px, Py, Pz, Rx, Ry, Rz,
-                    compat=compat, shape=shape, shadow_scratch=shadow_ref)
+                    compat=compat, shape=shape, shadow_scratch=shadow_ref,
+                    cheap_shadow=cheap_shadow, sph_sh=sph_sh)
                 r, g, b = r + w * r2, g + w * g2, b + w * b2
                 alive = alive & alive2
 
@@ -856,23 +955,95 @@ def _pack_params(camera, scene, compat, x_offset=0.0):
     ])
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "aliasing", "compat",
-                                             "tile_w", "tile_h", "interpret",
-                                             "local_width", "aa_share", "cull",
-                                             "shadow_cull"))
+def _shadow_cheap_ok(scene, compat) -> bool:
+    """Static guard for the sqrt-free shadow test (_sphere_occ_cheap).
+
+    Clean mode: always exact. Compat mode: exact unless some sphere has radius
+    >= FAR/2 (only then can a shadow segment sit inside a ball whose selected
+    far root exceeds the 999.0 clip — reference trace.py:17 semantics would
+    report no occlusion there). Traced scenes (called under an outer jit with
+    abstract values) can't be inspected and conservatively keep the root-form
+    sweep."""
+    if not compat:
+        return True
+    try:
+        return bool(np.all(np.asarray(scene.spheres.radius) < 0.5 * FAR))
+    except Exception:
+        return False
+
+
+def _auto_tiles(camera, scene, *, aliasing, aa_share, tile_w, tile_h,
+                local_width):
+    """Resolve ``None`` tile sizes to the measured-best v5e defaults.
+
+    AA-shared kernels want a wide lane tile: the +1 halo column pads to the
+    next 128-lane vreg, so the halo overhead factor is ceil((TH+1)/128)*128/TH
+    — 2.0 at TH=128 but 1.33 at TH=384 (measured @1080p: 8.2 -> 7.9 ms demo,
+    84 -> 69 ms 100-sphere). Rolled no-AA scenes prefer TW=72 (fewer, fatter
+    tiles amortize per-tile sweeps; measured 11.7 -> 11.1 ms); the small-scene
+    headline keeps (40, 128) (1.51 ms). TW72+TH640 exceeds scoped VMEM."""
+    W, H = camera.resolution
+    W_out = W if local_width is None else local_width
+    up = lambda n: -(-n // 128) * 128
+    swap = (up(W_out) - W_out) / W_out < (up(H) - H) / H
+    U, V = (H, W_out) if swap else (W_out, H)
+    if tile_h is None:
+        tile_h = 128
+        if aliasing and aa_share:
+            for th in (384, 256, 512):
+                if V % th == 0:
+                    tile_h = th
+                    break
+    if tile_w is None:
+        tile_w = 40
+        if (not aliasing) and scene.spheres.count > _UNROLL_LIMIT \
+                and U % 72 == 0:
+            tile_w = 72
+    return tile_w, tile_h
+
+
 def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
-                        compat: bool = True, tile_w: int = 40, tile_h: int = 128,
+                        compat: bool = True, tile_w: int | None = None,
+                        tile_h: int | None = None,
                         interpret: bool = False, x_offset=0.0,
                         local_width: int | None = None,
                         aa_share: bool = True, cull: bool = True,
-                        shadow_cull: bool = False) -> jnp.ndarray:
+                        shadow_cull: bool = False,
+                        cheap_shadow: bool | None = None) -> jnp.ndarray:
     """Fused-kernel render -> float ``(w, h, 3)`` image, matching
     :func:`..render.render_image` output bit-for-bit up to f32 reassociation.
 
     ``x_offset``/``local_width`` render a vertical slice ``[x_offset, x_offset +
     local_width)`` of the full image — ray generation is analytic in the *global*
     pixel index, so a shard_map over slices reproduces the whole image with zero
-    halo communication (ray-DP; see parallel/render_sharded.py)."""
+    halo communication (ray-DP; see parallel/render_sharded.py).
+
+    ``cheap_shadow`` (default: auto via :func:`_shadow_cheap_ok`) selects the
+    sqrt-free segment-form shadow sweeps; pass ``True`` explicitly when calling
+    under an outer jit with ordinary (< FAR/2 radius) scenes."""
+    if cheap_shadow is None:
+        cheap_shadow = _shadow_cheap_ok(scene, compat)
+    tile_w, tile_h = _auto_tiles(camera, scene, aliasing=aliasing,
+                                 aa_share=aa_share, tile_w=tile_w,
+                                 tile_h=tile_h, local_width=local_width)
+    return _render_image_pallas(
+        camera, scene, depth=depth, aliasing=aliasing, compat=compat,
+        tile_w=tile_w, tile_h=tile_h, interpret=interpret, x_offset=x_offset,
+        local_width=local_width, aa_share=aa_share, cull=cull,
+        shadow_cull=shadow_cull, cheap_shadow=cheap_shadow)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "aliasing", "compat",
+                                             "tile_w", "tile_h", "interpret",
+                                             "local_width", "aa_share", "cull",
+                                             "shadow_cull", "cheap_shadow"))
+def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
+                         compat: bool = True, tile_w: int = 40, tile_h: int = 128,
+                         interpret: bool = False, x_offset=0.0,
+                         local_width: int | None = None,
+                         aa_share: bool = True, cull: bool = True,
+                         shadow_cull: bool = False,
+                         cheap_shadow: bool = True) -> jnp.ndarray:
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
     S = len(AA_OFFSETS) if aliasing else 1
@@ -913,23 +1084,50 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
     vis_k = min(ns, 32)
     culled = cull and ns > _UNROLL_LIMIT and n_u * n_v * vis_k <= 160_000
     sh_cull = shadow_cull and ns > _UNROLL_LIMIT
+    # Rolled scenes: shadow sweeps scan a copy of the sphere table sorted by
+    # max-over-lights apparent angular size (r / |c - L|, descending) so the
+    # biggest occluders come first and the tile-coherent early exit saturates
+    # in fewer chunks. Occlusion is an order-free max-accumulation — results
+    # are bit-identical; only the while_loop trip count changes.
+    shadow_sort = nl > 0 and ns > _UNROLL_LIMIT
+    if shadow_sort:
+        cen = scene.spheres.center.astype(jnp.float32)       # (ns, 3)
+        rad = scene.spheres.radius.astype(jnp.float32)       # (ns,)
+        lpos = scene.lights.position.astype(jnp.float32)     # (nl, 3)
+        dist = jnp.linalg.norm(cen[:, None, :] - lpos[None, :, :], axis=-1)
+        key = jnp.max(rad[:, None] / jnp.maximum(dist, 1e-6), axis=1)
+        order = jnp.argsort(-key)
+        sph_sh = sph[0:4][:, order]                          # (4, ns)
     if culled:
         vis_idx, vis_cnt = _tile_visibility(
             camera, scene, n_u=n_u, n_v=n_v, TW=TW, TH=TH, swap_xy=swap_xy,
             x_offset=x_offset, compat=compat, K=vis_k)
     if aliasing and aa_share:
+        # Dead-tile bounce predication pays off when sweeps are expensive
+        # (rolled scenes); small scenes measured faster without the scratch
+        # traffic — same tradeoff as the no-AA kernel's AA branch.
+        aa_predicate = ns > _UNROLL_LIMIT and depth > 0
         kernel = _make_kernel_aa_shared(W=W, H=H, TW=TW, TH=TH, depth=depth,
                                         ns=ns, npl=npl, nl=nl, compat=compat,
                                         swap_xy=swap_xy, culled=culled,
-                                        shadow_cull=sh_cull, vis_k=vis_k)
+                                        shadow_cull=sh_cull, vis_k=vis_k,
+                                        cheap_shadow=cheap_shadow,
+                                        shadow_sort=shadow_sort,
+                                        predicate_bounces=aa_predicate)
         in_specs = [smem(), smem(), smem(), smem()]
         args = [params, sph, pln, lts]
+        if shadow_sort:
+            in_specs.append(smem())
+            args.append(sph_sh)
         if culled:
             in_specs += [smem(), smem()]
             args += [vis_idx, vis_cnt]
-        # shared-sample chains run at (TW+8, TH); the shadow-cull scratch is
-        # allocated at the widest chain shape and sliced for (TW, TH) chains
-        scratch = [pltpu.VMEM((TW + 8, TH), jnp.float32)] if sh_cull else []
+        # shared-sample chains run up to (TW+8, TH+1); the shadow-cull and
+        # bounce-predication scratch refs are allocated at the widest chain
+        # shape and sliced down for narrower chains
+        scratch = [pltpu.VMEM((TW + 8, TH + 1), jnp.float32)] if sh_cull else []
+        if aa_predicate:
+            scratch += [pltpu.VMEM((TW + 8, TH + 1), jnp.float32)] * 11
         out = pl.pallas_call(
             kernel,
             grid=(n_u, n_v),
@@ -945,10 +1143,14 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
     kernel = _make_kernel(W=W, H=H, TW=TW, TH=TH, S=S, depth=depth, ns=ns,
                           npl=npl, nl=nl, compat=compat, aliasing=aliasing,
                           predicate_bounces=predicate_bounces, swap_xy=swap_xy,
-                          culled=culled, shadow_cull=sh_cull, vis_k=vis_k)
+                          culled=culled, shadow_cull=sh_cull, vis_k=vis_k,
+                          cheap_shadow=cheap_shadow, shadow_sort=shadow_sort)
     grid = (n_u, n_v, S)
     in_specs = [smem(), smem(), smem(), smem()]
     args = [params, sph, pln, lts]
+    if shadow_sort:
+        in_specs.append(smem())
+        args.append(sph_sh)
     if culled:
         in_specs += [smem(), smem()]
         args += [vis_idx, vis_cnt]

@@ -32,9 +32,11 @@ def _shard_rows(w: int, mesh: Mesh, axis: str):
 
 @partial(jax.jit, static_argnames=("resolution", "mesh", "depth", "aliasing",
                                    "compat", "axis", "backend",
-                                   "pallas_interpret", "aa_share"))
+                                   "pallas_interpret", "aa_share",
+                                   "cheap_shadow"))
 def _render_sharded_impl(scene, camera, *, resolution, mesh, depth, aliasing,
-                         compat, axis, backend, pallas_interpret, aa_share):
+                         compat, axis, backend, pallas_interpret, aa_share,
+                         cheap_shadow=None):
     w, h = resolution
     rows_per = _shard_rows(w, mesh, axis)
     ys = jnp.arange(h, dtype=jnp.float32)
@@ -49,7 +51,8 @@ def _render_sharded_impl(scene, camera, *, resolution, mesh, depth, aliasing,
                                        aliasing=aliasing, compat=compat,
                                        x_offset=x0, local_width=rows_per,
                                        interpret=pallas_interpret,
-                                       aa_share=aa_share)
+                                       aa_share=aa_share,
+                                       cheap_shadow=cheap_shadow)
     else:
         def shard_fn(scene, camera):
             i = jax.lax.axis_index(axis)
@@ -76,11 +79,15 @@ def render_image_sharded(camera, scene, mesh: Mesh, *, depth: int = 2,
     multi-chip path); ``"jnp"`` the XLA-fused differentiable path. Jitted and
     cached per (mesh, resolution, flags) — repeated calls don't re-trace.
     """
+    # shard_fn sees traced scene leaves; resolve the sqrt-free shadow-sweep
+    # guard here where the scene is still concrete (see _shadow_cheap_ok).
+    from ..ops.pallas.render_pallas import _shadow_cheap_ok
     return _render_sharded_impl(scene, camera, resolution=camera.resolution,
                                 mesh=mesh, depth=depth, aliasing=aliasing,
                                 compat=compat, axis=axis, backend=backend,
                                 pallas_interpret=pallas_interpret,
-                                aa_share=aa_share)
+                                aa_share=aa_share,
+                                cheap_shadow=_shadow_cheap_ok(scene, compat))
 
 
 def make_loss_fn(camera, target, mesh: Mesh, *, depth: int = 2, aliasing: bool = True,

@@ -84,13 +84,17 @@ def pallas_value_and_grad(camera, target, *, depth: int = 2, compat: bool = True
     from .ops.pallas.render_bwd import scene_grads_pallas
 
     def value_and_grad(scene):
+        # scene is traced here (user jits this fn); shadow occlusion carries no
+        # gradient and training scenes keep radii << FAR/2, so the sqrt-free
+        # shadow sweep is forced on rather than falling back conservatively.
         img = render_image_pallas(camera, scene, depth=depth, aliasing=aliasing,
-                                  compat=compat)
+                                  compat=compat, cheap_shadow=True)
         diff = img - target
         loss = jnp.mean(diff ** 2)
         g_img = 2.0 * diff / diff.size
         grads = scene_grads_pallas(camera, scene, g_img, depth=depth,
-                                   compat=compat, aliasing=aliasing)
+                                   compat=compat, aliasing=aliasing,
+                                   cheap_shadow=True)
         return loss, grads
 
     return value_and_grad

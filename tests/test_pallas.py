@@ -3,6 +3,7 @@ the same kernel compiles via Mosaic on real TPU — exercised by bench.py)."""
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -186,3 +187,64 @@ def test_pallas_sharded_slices(demo_scene):
                                aa_share=False)
     diff = np.abs(np.asarray(out) - whole)
     assert (diff > 1e-4).mean() < 0.005 and diff.max() < 0.05
+
+
+def test_sphere_occ_cheap_matches_root_form():
+    """The sqrt-free segment-clamp occlusion test must agree with the
+    reference root-selection semantics (smallest positive root, compat far
+    clip) on adversarial configurations: origins inside/outside/behind,
+    grazing rays, and spheres straddling the 999.0 far clip — everywhere the
+    two forms aren't separated only by an exact f32 tie."""
+    from python_ray_tracer_tpu.ops.pallas.render_pallas import (
+        _sphere_occ_cheap, FAR)
+    rng = np.random.default_rng(0)
+    n = 20000
+    o = rng.normal(0, 5, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    c = rng.normal(0, 5, (n, 3)).astype(np.float32)
+    r = rng.uniform(0.01, 8.0, n).astype(np.float32)
+    # include far-clip straddlers and inside-origin cases
+    c[:2000] = o[:2000] + d[:2000] * rng.uniform(990, 1010, (2000, 1))
+    r[:2000] = rng.uniform(1.0, 20.0, 2000)
+    c[2000:4000] = o[2000:4000] + rng.normal(0, 0.5, (2000, 3))
+    r[2000:4000] = rng.uniform(1.0, 4.0, 2000)
+
+    a = np.sum(d * d, axis=-1)
+    g = np.sum(d * (c - o), axis=-1)
+    cterm = np.sum((o - c) ** 2, axis=-1) - r * r
+    for compat in (True, False):
+        cheap = np.asarray(_sphere_occ_cheap(
+            jnp.asarray(cterm), jnp.asarray(g), jnp.asarray(a),
+            jnp.asarray(1.0 / a), compat))
+        # root-form oracle
+        b = -2.0 * g
+        disc = b * b - 4.0 * a * cterm
+        has = disc >= 0.0
+        sq = np.sqrt(np.where(has, disc, 0.0))
+        nn, nf = -b - sq, -b + sq
+        t_sel = np.where(nn > 0.0, nn, nf) / (2.0 * a)
+        ref = has & (nf > 0.0)
+        if compat:
+            ref &= t_sel < FAR
+        # ignore exact decision-boundary ties (measure-zero in f32)
+        margin = np.abs(disc) > 1e-3 * np.maximum(np.abs(b * b), 1.0)
+        far_margin = (np.abs(t_sel - FAR) > 1e-3) | ~has
+        ok = margin & far_margin
+        assert (cheap[ok] == ref[ok]).all(), (
+            f"compat={compat}: {np.sum(cheap[ok] != ref[ok])} mismatches")
+
+
+def test_shadow_cheap_guard_huge_radius():
+    """Scenes with radius >= FAR/2 must fall back to the root-form shadow
+    sweep under compat (the only configuration where the segment test can
+    diverge from the reference's selected-root far clip)."""
+    from python_ray_tracer_tpu.ops.pallas.render_pallas import _shadow_cheap_ok
+    small = rt.default_scene()
+    assert _shadow_cheap_ok(small, True)
+    huge = dataclasses.replace(
+        small, spheres=dataclasses.replace(
+            small.spheres,
+            radius=small.spheres.radius.at[0].set(600.0)))
+    assert not _shadow_cheap_ok(huge, True)
+    assert _shadow_cheap_ok(huge, False)  # clean mode: exact at any radius
