@@ -189,54 +189,71 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
     spec_sum = zeros
 
     # --- lights: dirs, occlusion (no grad), lambert masks ---------------------
-    lam_sum = zeros
-    light_res = []
+    # Origin-only terms (|Pb|^2, per-object o.c and |c|^2-r^2, per-plane
+    # numerators) are hoisted ACROSS the light loop — same restructure as the
+    # forward kernel's _any_hit_multi, so the recomputed occlusion masks match
+    # the forward's bit-for-bit while the per-(light, object) work drops to the
+    # direction-dependent part. No gradient flows through occlusion.
+    dirs, lrns = [], []
+    a_l, inv2a_l, inva_l, od_l = [], [], [], []
     for l in range(nl):
         wx, wy, wz = lts[0, l] - Pbx, lts[1, l] - Pby, lts[2, l] - Pbz
         ww = wx * wx + wy * wy + wz * wz
         lrn = jax.lax.rsqrt(jnp.where(ww <= 1e-20, 1.0, ww))
         Lx, Ly, Lz = wx * lrn, wy * lrn, wz * lrn
-        # occlusion sweep (mask only; no gradient flows through it). The
-        # cheap branch mirrors the forward kernel's _sphere_occ_cheap
-        # arithmetic exactly so the recomputed mask matches the forward's
-        # occlusion bit-for-bit.
-        occ = jnp.zeros(shape, jnp.float32)
-        a_l = Lx * Lx + Ly * Ly + Lz * Lz
-        inv2a_l = 1.0 / (2.0 * a_l)
-        inva_l = inv2a_l + inv2a_l
-        od_l = Pbx * Lx + Pby * Ly + Pbz * Lz
-        oo_l = Pbx * Pbx + Pby * Pby + Pbz * Pbz
-        def _occ_body(j, occ):
+        dirs.append((Lx, Ly, Lz))
+        lrns.append(lrn)
+        a = Lx * Lx + Ly * Ly + Lz * Lz
+        a_l.append(a)
+        inv2a_l.append(1.0 / (2.0 * a))
+        inva_l.append(inv2a_l[-1] + inv2a_l[-1])
+        od_l.append(Pbx * Lx + Pby * Ly + Pbz * Lz)
+    oo = Pbx * Pbx + Pby * Pby + Pbz * Pbz
+    occs = [jnp.zeros(shape, jnp.float32) for _ in range(nl)]
+    if nl:
+        def _occ_body(j, occs):
             cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
-            cd = cx * Lx + cy * Ly + cz * Lz
             oc = cx * Pbx + cy * Pby + cz * Pbz
-            c = oo_l - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
-            if cheap_shadow:
-                valid = _sphere_occ_cheap(c, cd - od_l, a_l, inva_l, compat)
-                return jnp.maximum(occ, valid.astype(jnp.float32))
-            b = 2.0 * (od_l - cd)
-            disc = b * b - 4.0 * a_l * c
-            has = disc >= 0.0
-            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
-            nn, nf = -b - sq, -b + sq
-            t_j = jnp.where(nn > 0.0, nn, nf) * inv2a_l
-            valid = has & (nf > 0.0)  # far root >= near root always
-            if compat:
-                valid &= t_j < FAR
-            return jnp.maximum(occ, valid.astype(jnp.float32))
-        occ = _fold_spheres(ns, _occ_body, occ)
+            c = oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
+            out = []
+            for l, (Lx, Ly, Lz) in enumerate(dirs):
+                cd = cx * Lx + cy * Ly + cz * Lz
+                if cheap_shadow:
+                    valid = _sphere_occ_cheap(c, cd - od_l[l], a_l[l],
+                                              inva_l[l], compat)
+                    out.append(jnp.maximum(occs[l], valid.astype(jnp.float32)))
+                    continue
+                b = 2.0 * (od_l[l] - cd)
+                disc = b * b - 4.0 * a_l[l] * c
+                has = disc >= 0.0
+                sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+                nn, nf = -b - sq, -b + sq
+                t_j = jnp.where(nn > 0.0, nn, nf) * inv2a_l[l]
+                valid = has & (nf > 0.0)  # far root >= near root always
+                if compat:
+                    valid &= t_j < FAR
+                out.append(jnp.maximum(occs[l], valid.astype(jnp.float32)))
+            return tuple(out)
+        occs = list(_fold_spheres(ns, _occ_body, tuple(occs)))
+        eps = 1e-3 if compat else 1e-8
         for j in range(npl):
             pnx, pny, pnz = pln[3, j], pln[4, j], pln[5, j]
-            den = Lx * pnx + Ly * pny + Lz * pnz
-            den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
             num = ((pln[0, j] - Pbx) * pnx + (pln[1, j] - Pby) * pny +
                    (pln[2, j] - Pbz) * pnz)
-            t_j = num / den_safe
-            eps = 1e-3 if compat else 1e-8
-            valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
-            if compat:
-                valid &= t_j < FAR
-            occ = jnp.maximum(occ, valid.astype(jnp.float32))
+            for l, (Lx, Ly, Lz) in enumerate(dirs):
+                den = Lx * pnx + Ly * pny + Lz * pnz
+                den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+                t_j = num / den_safe
+                valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
+                if compat:
+                    valid &= t_j < FAR
+                occs[l] = jnp.maximum(occs[l], valid.astype(jnp.float32))
+    lam_sum = zeros
+    light_res = []
+    for l in range(nl):
+        Lx, Ly, Lz = dirs[l]
+        lrn = lrns[l]
+        occ = occs[l]
         ldotn = Lx * nx + Ly * ny + Lz * nz
         m_l = ((occ < 0.5) & (ldotn > 0.0)).astype(jnp.float32)
         lam_sum = lam_sum + m_l * ldotn
@@ -743,14 +760,24 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
 
 
 def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
-                       compat: bool = True, tile_w: int = 40, tile_h: int = 128,
+                       compat: bool = True, tile_w: int | None = None,
+                       tile_h: int = 128,
                        interpret: bool = False, return_camera: bool = False,
-                       aliasing: bool = False, aa_share: bool = False,
+                       aliasing: bool = False, aa_share: bool | None = None,
                        cheap_shadow: bool | None = None):
-    """Fused backward (see _scene_grads_pallas). This un-jitted wrapper only
-    resolves the sqrt-free shadow-sweep guard while the scene is concrete."""
+    """Fused backward (see _scene_grads_pallas). This un-jitted wrapper
+    resolves the sqrt-free shadow-sweep guard while the scene is concrete and
+    the measured-best tile/sharing defaults: AA cotangents run as shared
+    sample chains at a narrow TW=24 tile (16.6 ms @1080p depth-2 on v5e vs
+    22 ms for the per-sample grid axis — the sharing only wins once the tile
+    is narrow enough that the chain residuals don't spill scoped VMEM; at
+    TW=40 it loses 34 vs 24 ms and can fail to compile)."""
     if cheap_shadow is None:
         cheap_shadow = _shadow_cheap_ok(scene, compat)
+    if aa_share is None:
+        aa_share = aliasing
+    if tile_w is None:
+        tile_w = 24 if (aliasing and aa_share) else 40
     return _scene_grads_pallas(camera, scene, g_image, depth=depth,
                                compat=compat, tile_w=tile_w, tile_h=tile_h,
                                interpret=interpret, return_camera=return_camera,
@@ -772,12 +799,12 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     Matches ``jax.vjp`` of the jnp path. With ``return_camera=True`` also
     returns the camera-gradient pytree (position/rotation/fov). ``aa_share=True``
     runs the AA cotangents as 6 shared sample chains per tile (6.75/9 of the
-    per-sample arithmetic, same sharing as the forward kernel) — but measured on
-    v5e it LOSES to the per-sample grid axis (34 vs 24 ms @1080p depth-2) and
-    can exceed the 16 MB scoped-VMEM limit at larger tiles: a chain's full
-    residual set plus every gradient partial stays live across all six chains,
-    and the resulting spills cost more than the saved arithmetic. Default is
-    the per-sample axis; the shared path stays for narrower-residual futures.
+    per-sample arithmetic, same sublane sharing as the forward kernel). The
+    full residual set of a chain plus every gradient partial stays live across
+    all six chains, so the sharing only wins when the tile is narrow enough
+    not to spill scoped VMEM: at TW=40 it loses (34 vs 22 ms @1080p depth-2 on
+    v5e, and can fail to compile), at TW=24 it wins (16.6 ms). The public
+    wrapper picks TW/sharing accordingly.
     """
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count

@@ -167,16 +167,16 @@ def test_bwd_rolled_matches_unrolled():
     saved = rb._UNROLL_LIMIT
     try:
         rb._UNROLL_LIMIT = 64
-        rb.scene_grads_pallas.clear_cache()
+        rb._scene_grads_pallas.clear_cache()
         gU = rb.scene_grads_pallas(cam, scene, g_img, depth=0, compat=True,
                                    tile_w=8, tile_h=16, interpret=True)
         rb._UNROLL_LIMIT = 16
-        rb.scene_grads_pallas.clear_cache()
+        rb._scene_grads_pallas.clear_cache()
         gR = rb.scene_grads_pallas(cam, scene, g_img, depth=0, compat=True,
                                    tile_w=8, tile_h=16, interpret=True)
     finally:
         rb._UNROLL_LIMIT = saved
-        rb.scene_grads_pallas.clear_cache()
+        rb._scene_grads_pallas.clear_cache()
     for a, b in zip(jax.tree_util.tree_leaves(gR), jax.tree_util.tree_leaves(gU)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
