@@ -85,7 +85,10 @@ def test_pallas_large_scene_rolled_loops():
 
 
 @pytest.mark.parametrize("aliasing,aa_share,depth", [
-    (False, False, 2), (True, False, 1), (True, True, 1)])
+    (False, False, 2), (True, False, 1),
+    # the shared-AA interpret graph alone takes ~40 s to trace on this host;
+    # AA-cull exactness is covered by the per-sample variant above
+    pytest.param(True, True, 1, marks=pytest.mark.slow)])
 def test_pallas_cone_cull_exact(aliasing, aa_share, depth):
     """The conservative per-tile cone cull must be invisible: culled == unculled
     bit-for-bit (a sphere is only dropped when it provably misses every used
