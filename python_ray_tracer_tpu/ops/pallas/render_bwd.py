@@ -538,9 +538,12 @@ def grad_layout(ns, npl, nl):
     return slots, k + 1
 
 
-def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
+def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                      swap_xy=False, aliasing=False, aa_share=False,
                      cheap_shadow=True):
+    # W, H: full-image extent (AA border semantics are global). U, V: the
+    # local swap-resolved grid extent — W of this shard's slice, not the
+    # image, when rendering a vertical slice (ray-DP sharding).
     shape = (TW, TH)
     shape_w = (TW + 8, TH)   # +1 logical shared-sample row, padded to sublanes
     slots, n_grads = grad_layout(ns, npl, nl)
@@ -583,14 +586,18 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
             def acc_sph(j, c, vec):
                 out_ref[j * 7 + c] += _vsum(vec)
 
-        fu = (i * TW).astype(jnp.float32)
-        fv = (j * TH).astype(jnp.float32)
-        if not swap_xy:
-            fu = fu + params[_P_X0]
-        else:
-            fv = fv + params[_P_X0]
-        su = fu + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
-        sv = fv + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        fu_l = (i * TW).astype(jnp.float32)
+        fv_l = (j * TH).astype(jnp.float32)
+        iota_u = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        # Pad-lane mask in LOCAL grid coordinates: with a slice offset the
+        # global coordinate is x_offset + local, so a global-W test would let
+        # a middle shard's pad lanes through.
+        inb = ((fu_l + iota_u) < U) & ((fv_l + iota_v) < V)
+        fu = fu_l + params[_P_X0] if not swap_xy else fu_l
+        fv = fv_l + params[_P_X0] if swap_xy else fv_l
+        su = fu + iota_u
+        sv = fv + iota_v
         gx, gy = (su, sv) if not swap_xy else (sv, su)
 
         R = params
@@ -665,10 +672,10 @@ def _make_bwd_kernel(*, W, H, TW, TH, depth, ns, npl, nl, compat,
             acc("fov", focal_bar * dfdf)
 
         # --- incoming cotangent ----------------------------------------------
-        # Mask lanes beyond the true image extent: partial tiles are padded and
-        # the pad region of the cotangent block is uninitialized memory — it
-        # would otherwise flow into the scalar reductions.
-        inb = (gx < W) & (gy < H)
+        # ``inb`` (computed above in local coordinates) masks lanes beyond the
+        # true slice extent: partial tiles are padded and the pad region of the
+        # cotangent block is uninitialized memory — it would otherwise flow
+        # into the scalar reductions.
         # where-select, not multiply: pad memory can hold NaN/inf on hardware
         # and NaN * 0 == NaN.
         g0 = jnp.where(inb, g_ref[0], 0.0)
@@ -764,7 +771,8 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                        tile_h: int = 128,
                        interpret: bool = False, return_camera: bool = False,
                        aliasing: bool = False, aa_share: bool | None = None,
-                       cheap_shadow: bool | None = None):
+                       cheap_shadow: bool | None = None,
+                       x_offset=0.0, local_width: int | None = None):
     """Fused backward (see _scene_grads_pallas). This un-jitted wrapper
     resolves the sqrt-free shadow-sweep guard while the scene is concrete and
     the measured-best tile/sharing defaults: AA cotangents run as shared
@@ -782,18 +790,21 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                                compat=compat, tile_w=tile_w, tile_h=tile_h,
                                interpret=interpret, return_camera=return_camera,
                                aliasing=aliasing, aa_share=aa_share,
-                               cheap_shadow=cheap_shadow)
+                               cheap_shadow=cheap_shadow, x_offset=x_offset,
+                               local_width=local_width)
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "compat", "tile_w",
                                              "tile_h", "interpret",
                                              "return_camera", "aliasing",
-                                             "aa_share", "cheap_shadow"))
+                                             "aa_share", "cheap_shadow",
+                                             "local_width"))
 def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                         compat: bool = True, tile_w: int = 40, tile_h: int = 128,
                         interpret: bool = False, return_camera: bool = False,
                         aliasing: bool = False, aa_share: bool = False,
-                        cheap_shadow: bool = True):
+                        cheap_shadow: bool = True, x_offset=0.0,
+                        local_width: int | None = None):
     """Fused backward: cotangent image ``(w, h, 3)`` -> scene-gradient pytree.
 
     Matches ``jax.vjp`` of the jnp path. With ``return_camera=True`` also
@@ -807,10 +818,11 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     wrapper picks TW/sharing accordingly.
     """
     W, H = camera.resolution
+    W_out = W if local_width is None else local_width
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
     assert npl <= _UNROLL_LIMIT and nl <= _UNROLL_LIMIT, (
         "fused backward needs unrolled plane/light counts")
-    params = _pack_params(camera, scene, compat)
+    params = _pack_params(camera, scene, compat, x_offset)
     sph = jnp.concatenate([
         scene.spheres.center.T.astype(jnp.float32),
         scene.spheres.radius[None].astype(jnp.float32),
@@ -827,12 +839,13 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     def _lane_waste(n):
         up = -(-n // 128) * 128
         return (up - n) / n
-    swap_xy = _lane_waste(W) < _lane_waste(H)
-    U = H if swap_xy else W
-    V = W if swap_xy else H
+    swap_xy = _lane_waste(W_out) < _lane_waste(H)
+    U = H if swap_xy else W_out
+    V = W_out if swap_xy else H
     TW = min(tile_w, U)
     TH = tile_h
-    kernel, n_grads = _make_bwd_kernel(W=W, H=H, TW=TW, TH=TH, depth=depth,
+    kernel, n_grads = _make_bwd_kernel(W=W, H=H, U=U, V=V, TW=TW, TH=TH,
+                                       depth=depth,
                                        ns=ns, npl=npl, nl=nl, compat=compat,
                                        swap_xy=swap_xy, aliasing=aliasing,
                                        aa_share=aa_share,

@@ -100,6 +100,56 @@ def pallas_value_and_grad(camera, target, *, depth: int = 2, compat: bool = True
     return value_and_grad
 
 
+def pallas_value_and_grad_sharded(camera, mesh, *, depth: int = 2,
+                                  compat: bool = True, aliasing: bool = False,
+                                  axis: str = "rays",
+                                  pallas_interpret: bool = False):
+    """``(scene, target) -> (loss, grads)`` over a device mesh: ray-DP with the
+    fused Mosaic kernels on every shard.
+
+    Each device renders its vertical slice of the image (analytic ray
+    generation in the global pixel index — zero-communication forward, see
+    parallel/render_sharded.py), forms its slice of the MSE cotangent, and
+    runs the fused backward on that slice; the per-shard scene gradients and
+    loss partials are ``psum``-all-reduced over ICI. The *only* collectives in
+    the whole training step are those two psums. ``target`` must be sharded
+    over its leading (width) axis; the shard count must divide the width.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from .ops.pallas.render_pallas import render_image_pallas
+    from .ops.pallas.render_bwd import scene_grads_pallas
+
+    W, H = camera.resolution
+    n = mesh.shape[axis]
+    assert W % n == 0, f"width {W} must divide over {n} shards"
+    rows_per = W // n
+    denom = W * H * 3
+
+    def shard_fn(scene, target):
+        i = jax.lax.axis_index(axis)
+        x0 = (i * rows_per).astype(jnp.float32)
+        img = render_image_pallas(camera, scene, depth=depth, aliasing=aliasing,
+                                  compat=compat, x_offset=x0,
+                                  local_width=rows_per, cheap_shadow=True,
+                                  interpret=pallas_interpret)
+        diff = img - target
+        g_img = 2.0 * diff / denom
+        grads = scene_grads_pallas(camera, scene, g_img, depth=depth,
+                                   compat=compat, aliasing=aliasing,
+                                   cheap_shadow=True, x_offset=x0,
+                                   local_width=rows_per,
+                                   interpret=pallas_interpret)
+        loss = jax.lax.psum(jnp.sum(diff * diff), axis) / denom
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
+        return loss, grads
+
+    # check_vma=False: pallas_call outputs carry no vma annotation
+    return shard_map(shard_fn, mesh=mesh,
+                     in_specs=(P(), P(axis)), out_specs=(P(), P()),
+                     check_vma=False)
+
+
 def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
                     trainable: Optional[Sequence[str]] = None,
                     value_and_grad: Optional[Callable] = None):
@@ -131,14 +181,20 @@ def fit_scene(init_scene: Scene, camera, target, *, steps: int = 200,
 
     ``trainable`` selects which top-level scene fields receive updates (default:
     sphere geometry/albedo, matching configs[3]); the rest stay frozen.
-    ``backend="pallas"`` uses the fused forward+backward Mosaic kernels
-    (single-device, no AA).
+    ``backend="pallas"`` uses the fused forward+backward Mosaic kernels; with a
+    ``mesh`` the step runs ray-DP sharded (fused kernels per shard, psum'd
+    loss/grads — :func:`pallas_value_and_grad_sharded`).
     """
     vg = None
     if backend == "pallas":
-        assert mesh is None
-        vg = pallas_value_and_grad(camera, target, depth=depth, compat=compat,
-                                   aliasing=aliasing)
+        if mesh is not None:
+            vg_st = pallas_value_and_grad_sharded(camera, mesh, depth=depth,
+                                                  compat=compat,
+                                                  aliasing=aliasing)
+            vg = lambda scene: vg_st(scene, target)
+        else:
+            vg = pallas_value_and_grad(camera, target, depth=depth,
+                                       compat=compat, aliasing=aliasing)
         loss_fn = None
     elif mesh is not None:
         loss_fn = make_loss_fn(camera, target, mesh, depth=depth,

@@ -213,3 +213,25 @@ def test_bwd_aliasing_matches_autodiff(demo_scene, aa_share):
                                rtol=1e-3, atol=1e-7)
     assert float(g.materials.lambert) == pytest.approx(
         float(g_ref.materials.lambert), rel=1e-3)
+
+
+def test_bwd_slices_sum_to_full(demo_scene):
+    """x_offset/local_width: the fused backward of a vertical image slice must
+    see global pixel coordinates (ray-DP sharding), and the slice gradients
+    must sum to the full-image gradients (gradients are pixel sums)."""
+    cam = rt.default_camera((32, 16))
+    key = jax.random.key(0)
+    g_img = jax.random.normal(key, (32, 16, 3), jnp.float32) * 1e-3
+    full = scene_grads_pallas(cam, demo_scene, g_img, depth=1, compat=True,
+                              tile_w=8, tile_h=16, interpret=True)
+    lo = scene_grads_pallas(cam, demo_scene, g_img[:16], depth=1, compat=True,
+                            tile_w=8, tile_h=16, interpret=True,
+                            x_offset=0.0, local_width=16)
+    hi = scene_grads_pallas(cam, demo_scene, g_img[16:], depth=1, compat=True,
+                            tile_w=8, tile_h=16, interpret=True,
+                            x_offset=16.0, local_width=16)
+    for a, b, c in zip(jax.tree_util.tree_leaves(full),
+                       jax.tree_util.tree_leaves(lo),
+                       jax.tree_util.tree_leaves(hi)):
+        np.testing.assert_allclose(np.asarray(b) + np.asarray(c),
+                                   np.asarray(a), rtol=1e-5, atol=1e-8)

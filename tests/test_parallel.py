@@ -144,3 +144,33 @@ def test_sharded_soft_loss_matches_single(mesh):
     np.testing.assert_allclose(np.asarray(g1.spheres.center),
                                np.asarray(g2.spheres.center), rtol=1e-3,
                                atol=1e-7)
+
+
+def test_sharded_fused_value_and_grad(demo_scene):
+    """Ray-DP training with the fused Mosaic kernels on every shard: loss and
+    psum'd scene grads must match the single-device fused path exactly (the
+    same kernels run per slice; gradients are pixel sums)."""
+    mesh = make_mesh(jax.devices()[:2])
+    cam = rt.default_camera((32, 16))
+    target = rt.render_image(cam, demo_scene, depth=1, aliasing=False,
+                             compat=True) * 0.9
+    vg_sh = train.pallas_value_and_grad_sharded(cam, mesh, depth=1,
+                                                pallas_interpret=True)
+    loss_sh, grads_sh = vg_sh(demo_scene, target)
+
+    # single-device fused oracle (same kernels, full width)
+    from python_ray_tracer_tpu.ops.pallas.render_pallas import render_image_pallas
+    from python_ray_tracer_tpu.ops.pallas.render_bwd import scene_grads_pallas
+    img = render_image_pallas(cam, demo_scene, depth=1, aliasing=False,
+                              compat=True, interpret=True)
+    diff = img - target
+    loss_ref = jnp.mean(diff ** 2)
+    g_img = 2.0 * diff / diff.size
+    grads_ref = scene_grads_pallas(cam, demo_scene, g_img, depth=1,
+                                   compat=True, interpret=True)
+    assert float(loss_sh) == pytest.approx(float(loss_ref), rel=1e-6)
+    # slice-partial + psum reassociates the f32 pixel sums vs one full sweep
+    for a, b in zip(jax.tree_util.tree_leaves(grads_sh),
+                    jax.tree_util.tree_leaves(grads_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
