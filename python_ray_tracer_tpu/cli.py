@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
 
@@ -56,14 +57,21 @@ def _build(args):
     return cfg, scene, cam
 
 
-def _render_fn(cfg, soft_tau=0.0):
+def _render_fn(cfg, soft_tau=0.0, scene=None):
     if soft_tau > 0.0:
         if cfg.backend == "pallas":
-            from .ops.pallas.soft_pallas import render_image_soft_pallas
-
-            def fn(cam, scene):
-                return render_image_soft_pallas(cam, scene, tau=soft_tau)
-            return fn
+            from .ops.pallas.soft_pallas import (render_image_soft_pallas,
+                                                 _SOFT_UNROLL_LIMIT)
+            n_obj = (scene.spheres.count + scene.planes.count
+                     if scene is not None else None)
+            if n_obj is not None and n_obj > _SOFT_UNROLL_LIMIT:
+                print(f"[soft] {n_obj} objects exceed the fused kernel's "
+                      f"{_SOFT_UNROLL_LIMIT}-object limit; using the jnp path",
+                      file=sys.stderr)
+            else:
+                def fn(cam, scene):
+                    return render_image_soft_pallas(cam, scene, tau=soft_tau)
+                return fn
         from .ops.soft import render_image_soft
 
         def fn(cam, scene):
@@ -85,7 +93,7 @@ def _render_fn(cfg, soft_tau=0.0):
 
 def cmd_render(args) -> int:
     cfg, scene, cam = _build(args)
-    fn = _render_fn(cfg, soft_tau=args.soft)
+    fn = _render_fn(cfg, soft_tau=args.soft, scene=scene)
     secs = time_fn(fn, cam, scene, warmup=1, iters=5)
     img = fn(cam, scene)
     n_rays = rays_per_image(cfg.width, cfg.height, depth=cfg.depth,

@@ -442,16 +442,25 @@ def _any_hit_multi(sph, ns, pln, npl, ox, oy, oz, dirs, *, compat, shape,
 
 def _any_hit_capsule(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, lx, ly, lz,
                      occ_ref, *, compat, shape, cheap=True):
-    """Rolled-scene shadow sweep with a runtime capsule cull per object chunk.
+    """Rolled-scene shadow sweep with a runtime swept-region cull per chunk.
 
-    All shadow segments of this tile run from origins inside the tile's
-    (unmasked) origin AABB to the point light, so every segment lies within
-    ``half_diagonal`` of the segment box-center -> light: a sphere chunk whose
-    members all miss that capsule (by ``r + half_diag``) cannot occlude any
-    lane and its vector sweep is skipped via ``pl.when``. The capsule tests are
-    scalar-unit work (dynamic SMEM reads); occlusion accumulates in a VMEM
-    scratch ref because ``pl.when`` bodies cannot carry SSA values. Exact:
-    skipped chunks provably contribute nothing.
+    All shadow rays of this tile start at origins inside the tile's (unmasked)
+    origin AABB and pass exactly through the point light, then CONTINUE past
+    it — the reference's any-hit counts occluders at any ``0 < t < FAR``
+    (unbounded in clean mode), so a sphere beyond the light still shadows
+    (trace.py:17 semantics). The swept region is therefore the union of
+    (a) the capsule of half-diagonal radius around segment box-center->light
+    (the origin->light portions) and (b) the cone of lines through the light
+    from points of the origin ball, extended ``FAR`` beyond it (the
+    continuations). A sphere chunk whose members all miss both (by a
+    conservative ``r``-Minkowski margin) cannot occlude any lane and its
+    vector sweep is skipped via ``pl.when``; if the light sits inside (or
+    within 2 half-diagonals of) the AABB the cone is ill-defined and the cull
+    disables itself. The tests are scalar-unit work (dynamic SMEM reads);
+    occlusion accumulates in a VMEM scratch ref because ``pl.when`` bodies
+    cannot carry SSA values. Exact: skipped chunks provably contribute
+    nothing (tests/test_pallas.py::test_pallas_shadow_cull_exact, incl. an
+    occluder placed beyond the light).
     """
     occ = jnp.zeros(shape, jnp.float32)
     eps = 1e-3 if compat else 1e-8
@@ -476,6 +485,15 @@ def _any_hit_capsule(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, lx, ly, lz,
     hdiag = jnp.sqrt(ex * ex + ey * ey + ez * ez)
     sx, sy, sz = lx - bx, ly - by, lz - bz
     ss = jnp.maximum(sx * sx + sy * sy + sz * sz, 1e-12)
+    dlb = jnp.sqrt(ss)
+    # beyond-the-light cone: unit axis away from the box, slope = the widest
+    # angle a line through the light and the origin ball can make with it
+    cull_ok = dlb > 2.0 * hdiag      # else cone ill-defined: cull nothing
+    inv_dlb = 1.0 / dlb
+    ux, uy, uz = sx * inv_dlb, sy * inv_dlb, sz * inv_dlb
+    slope = hdiag / jnp.maximum(dlb - hdiag, 1e-6)
+    rmink = jnp.sqrt(1.0 + slope * slope)   # r-Minkowski margin factor
+    extent = FAR if compat else 1e9         # clean mode: unbounded range
 
     a = dx * dx + dy * dy + dz * dz
     inv2a = 1.0 / (2.0 * a)
@@ -509,7 +527,16 @@ def _any_hit_capsule(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, lx, ly, lz,
         tt = jnp.clip(ws / ss, 0.0, 1.0)
         d2 = (wx * wx + wy * wy + wz * wz) - 2.0 * tt * ws + tt * tt * ss
         reach = r + hdiag + 1e-3
-        return d2 <= reach * reach
+        near_seg = d2 <= reach * reach
+        # past-the-light continuation: lateral distance from the cone axis
+        # must exceed the cone's conservative allowance at this axial depth
+        vx, vy, vz = cx - lx, cy - ly, cz - lz
+        proj = vx * ux + vy * uy + vz * uz
+        lat2 = jnp.maximum(vx * vx + vy * vy + vz * vz - proj * proj, 0.0)
+        allow = proj * slope + (r + 1e-3) * rmink
+        in_cone = ((proj > -r) & (proj < extent + r) &
+                   (lat2 <= allow * allow) & (allow > 0.0))
+        return near_seg | in_cone | ~cull_ok
 
     # while_loop with a scalar-only carry: combines the capsule cull with the
     # tile-coherent early exit (stop once every lane is occluded — monotone).
@@ -589,7 +616,8 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
             occs = _any_hit_multi(ssph, ns, pln, npl, Px, Py, Pz, dirs,
                                   compat=compat, shape=shape,
                                   cheap=cheap_shadow)
-        elif shadow_scratch is not None and ns > _UNROLL_LIMIT:
+        elif (shadow_scratch is not None and ns > _UNROLL_LIMIT
+              and npl <= _UNROLL_LIMIT):  # capsule path unrolls its plane loop
             sref = (shadow_scratch if shadow_scratch.shape == shape
                     else shadow_scratch.at[0:shape[0], 0:shape[1]])
             occs = [_any_hit_capsule(ssph, ns, pln, npl, Px, Py, Pz,

@@ -31,9 +31,13 @@ def initialize(coordinator_address: Optional[str] = None,
                                num_processes=num_processes, process_id=process_id)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("mesh", "axis"))
 def _all_gather_image(image, *, mesh: Mesh, axis: str):
     """Replicate a width-sharded ``(w, h, 3)`` image across the mesh.
+
+    No buffer donation: gather_framebuffer reads as a pure assembly step, so
+    the caller's sharded framebuffer must stay alive (donating it makes any
+    later use of the input raise "Array has been deleted").
 
     One tiled ``all_gather`` over the mesh axis: each device contributes its
     column block and receives everyone else's. Inside a slice this is an ICI

@@ -73,28 +73,31 @@ def _mask_grads(grads: Scene, trainable: Optional[Sequence[str]]) -> Scene:
 
 
 def pallas_value_and_grad(camera, target, *, depth: int = 2, compat: bool = True,
-                          aliasing: bool = False):
+                          aliasing: bool = False, cheap_shadow: bool = True):
     """``scene -> (loss, grads)`` built from the fused forward + fused backward
     Mosaic kernels (ops/pallas) — the speed-of-light training path.
 
     MSE pixel loss; grads cover the full scene pytree (camera cotangents are not
     applied here — see ops/pallas/render_bwd.py ``return_camera``).
+
+    ``cheap_shadow`` defaults to the sqrt-free shadow sweep: the scene is
+    traced inside this function so the per-scene exactness guard cannot run
+    here — callers with a concrete scene should pass
+    ``_shadow_cheap_ok(scene, compat)`` (fit_scene does); only compat scenes
+    with sphere radii >= FAR/2 need the ``False`` root-form fallback.
     """
     from .ops.pallas.render_pallas import render_image_pallas
     from .ops.pallas.render_bwd import scene_grads_pallas
 
     def value_and_grad(scene):
-        # scene is traced here (user jits this fn); shadow occlusion carries no
-        # gradient and training scenes keep radii << FAR/2, so the sqrt-free
-        # shadow sweep is forced on rather than falling back conservatively.
         img = render_image_pallas(camera, scene, depth=depth, aliasing=aliasing,
-                                  compat=compat, cheap_shadow=True)
+                                  compat=compat, cheap_shadow=cheap_shadow)
         diff = img - target
         loss = jnp.mean(diff ** 2)
         g_img = 2.0 * diff / diff.size
         grads = scene_grads_pallas(camera, scene, g_img, depth=depth,
                                    compat=compat, aliasing=aliasing,
-                                   cheap_shadow=True)
+                                   cheap_shadow=cheap_shadow)
         return loss, grads
 
     return value_and_grad
@@ -103,7 +106,8 @@ def pallas_value_and_grad(camera, target, *, depth: int = 2, compat: bool = True
 def pallas_value_and_grad_sharded(camera, mesh, *, depth: int = 2,
                                   compat: bool = True, aliasing: bool = False,
                                   axis: str = "rays",
-                                  pallas_interpret: bool = False):
+                                  pallas_interpret: bool = False,
+                                  cheap_shadow: bool = True):
     """``(scene, target) -> (loss, grads)`` over a device mesh: ray-DP with the
     fused Mosaic kernels on every shard.
 
@@ -131,14 +135,15 @@ def pallas_value_and_grad_sharded(camera, mesh, *, depth: int = 2,
         x0 = (i * rows_per).astype(jnp.float32)
         img = render_image_pallas(camera, scene, depth=depth, aliasing=aliasing,
                                   compat=compat, x_offset=x0,
-                                  local_width=rows_per, cheap_shadow=True,
+                                  local_width=rows_per,
+                                  cheap_shadow=cheap_shadow,
                                   interpret=pallas_interpret)
         diff = img - target
         g_img = 2.0 * diff / denom
         grads = scene_grads_pallas(camera, scene, g_img, depth=depth,
                                    compat=compat, aliasing=aliasing,
-                                   cheap_shadow=True, x_offset=x0,
-                                   local_width=rows_per,
+                                   cheap_shadow=cheap_shadow,
+                                   x_offset=x0, local_width=rows_per,
                                    interpret=pallas_interpret)
         loss = jax.lax.psum(jnp.sum(diff * diff), axis) / denom
         grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
@@ -187,14 +192,20 @@ def fit_scene(init_scene: Scene, camera, target, *, steps: int = 200,
     """
     vg = None
     if backend == "pallas":
+        # init_scene is concrete here: resolve the sqrt-free shadow-sweep
+        # exactness guard per scene (False only for compat radii >= FAR/2)
+        from .ops.pallas.render_pallas import _shadow_cheap_ok
+        cheap = _shadow_cheap_ok(init_scene, compat)
         if mesh is not None:
             vg_st = pallas_value_and_grad_sharded(camera, mesh, depth=depth,
                                                   compat=compat,
-                                                  aliasing=aliasing)
+                                                  aliasing=aliasing,
+                                                  cheap_shadow=cheap)
             vg = lambda scene: vg_st(scene, target)
         else:
             vg = pallas_value_and_grad(camera, target, depth=depth,
-                                       compat=compat, aliasing=aliasing)
+                                       compat=compat, aliasing=aliasing,
+                                       cheap_shadow=cheap)
         loss_fn = None
     elif mesh is not None:
         loss_fn = make_loss_fn(camera, target, mesh, depth=depth,

@@ -39,7 +39,10 @@ def load_pytree(path: str, like):
     if saved != want:
         missing = sorted(want - saved)
         extra = sorted(saved - want)
-        if extra == [f"leaf_{i}" for i in range(len(extra))] and not (want & saved):
+        # set comparison, not sorted-list equality: lexicographic sort puts
+        # leaf_10 before leaf_2, which broke detection for >= 11 leaves
+        if not (want & saved) and extra and \
+                set(extra) == {f"leaf_{i}" for i in range(len(extra))}:
             raise ValueError(
                 "checkpoint uses the legacy positional leaf_<i> format; re-save it "
                 "with the current save_pytree (path-keyed) to load it")

@@ -251,3 +251,35 @@ def test_shadow_cheap_guard_huge_radius():
             radius=small.spheres.radius.at[0].set(600.0)))
     assert not _shadow_cheap_ok(huge, True)
     assert _shadow_cheap_ok(huge, False)  # clean mode: exact at any radius
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_pallas_shadow_cull_exact(compat):
+    """shadow_cull=True must be invisible: culled == unculled bit-for-bit.
+
+    Includes an occluder planted BEYOND a light: the reference's any-hit
+    counts hits at any 0 < t < FAR (unbounded in clean mode), so a sphere
+    past the light still shadows — the cull's swept region must include the
+    beyond-the-light cone, not stop at the light."""
+    import python_ray_tracer_tpu.models.scene as sc
+    base = rt.random_scene(jax.random.key(5), n_spheres=24)
+    L0 = np.asarray(base.lights.position)[0]
+    u = (L0 - np.array([0.0, 0.0, 2.0]))
+    u = u / np.linalg.norm(u)
+    beyond = (L0 + 4.0 * u).astype(np.float32)
+    scene = dataclasses.replace(
+        base, spheres=sc.Spheres(
+            center=jnp.concatenate([base.spheres.center, jnp.asarray([beyond])]),
+            radius=jnp.concatenate([base.spheres.radius, jnp.asarray([1.5])]),
+            albedo=jnp.concatenate([base.spheres.albedo,
+                                    jnp.asarray([[1.0, 0.0, 0.0]])])))
+    cam = rt.Camera.build((24, 16), [-7, 0, 3], [0, -20, 0])
+    kw = dict(depth=1, aliasing=False, compat=compat, tile_w=8, tile_h=8,
+              interpret=True)
+    culled = np.asarray(render_image_pallas(cam, scene, shadow_cull=True, **kw))
+    plain = np.asarray(render_image_pallas(cam, scene, shadow_cull=False, **kw))
+    np.testing.assert_array_equal(culled, plain)
+    # prove the beyond-the-light sphere actually shadows something: without it
+    # the image must differ (the unlimited-range quirk is exercised)
+    without = np.asarray(render_image_pallas(cam, base, shadow_cull=False, **kw))
+    assert np.abs(plain - without).max() > 1e-3

@@ -77,6 +77,12 @@ def test_checkpoint_legacy_positional_rejected(tmp_path):
     np.savez(path, leaf_0=np.zeros(3), leaf_1=np.ones(3))
     with pytest.raises(ValueError, match="legacy positional"):
         rt.load_pytree(path, {"x": np.zeros(3), "y": np.zeros(3)})
+    # >= 11 leaves: lexicographic sort puts leaf_10 before leaf_2 — detection
+    # must compare as a SET (real scene+optimizer checkpoints exceed 10 leaves)
+    big = os.path.join(tmp_path, "old_big.npz")
+    np.savez(big, **{f"leaf_{i}": np.zeros(2) for i in range(12)})
+    with pytest.raises(ValueError, match="legacy positional"):
+        rt.load_pytree(big, {f"k{i}": np.zeros(2) for i in range(12)})
 
 
 def test_checkpoint_resume_training(tmp_path):
