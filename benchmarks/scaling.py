@@ -34,6 +34,10 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=5,
                     help="dispatches per timing round (use >=100 on the real "
                          "chip: each round pays a fixed ~45 ms tunnel cost)")
+    ap.add_argument("--train", action="store_true",
+                    help="measure the fused sharded fwd+bwd training step "
+                         "(train.pallas_value_and_grad_sharded) instead of "
+                         "the forward render")
     args = ap.parse_args()
 
     if args.virtual:
@@ -64,10 +68,24 @@ def main() -> int:
     results = []
     base_rate = None
     for n in sizes:
+        if args.train and args.width % n:
+            continue
         mesh = make_mesh(jax.devices()[:n])
-        fn = lambda: render_image_sharded(cam, scene, mesh, depth=args.depth,
-                                          aliasing=args.aliasing,
-                                          backend=args.backend)
+        if args.train:
+            from python_ray_tracer_tpu import train as _train
+            from python_ray_tracer_tpu.parallel.mesh import image_sharding
+            target = jax.device_put(
+                rt.render_image(cam, scene, depth=args.depth,
+                                aliasing=args.aliasing),
+                image_sharding(mesh))
+            vg = jax.jit(_train.pallas_value_and_grad_sharded(
+                cam, mesh, depth=args.depth, aliasing=args.aliasing,
+                pallas_interpret=bool(args.virtual)))
+            fn = lambda: vg(scene, target)[0]
+        else:
+            fn = lambda: render_image_sharded(cam, scene, mesh, depth=args.depth,
+                                              aliasing=args.aliasing,
+                                              backend=args.backend)
         secs = time_fn(fn, warmup=1, iters=args.iters, best_of=2)
         rate = total_rays / secs
         if base_rate is None:
@@ -83,7 +101,8 @@ def main() -> int:
                           config=dict(width=args.width, height=args.height,
                                       depth=args.depth, aliasing=args.aliasing,
                                       virtual=bool(args.virtual),
-                                      backend=args.backend, iters=args.iters),
+                                      backend=args.backend, iters=args.iters,
+                                      train=args.train),
                           results=results)))
     return 0
 

@@ -1018,7 +1018,13 @@ def _auto_tiles(camera, scene, *, aliasing, aa_share, tile_w, tile_h,
     if tile_h is None:
         tile_h = 128
         if aliasing and aa_share:
-            for th in (384, 256, 512):
+            # 640 wins for small unrolled scenes (7.8 vs 8.0 ms @1080p) but
+            # exceeds scoped VMEM with the rolled-scene bounce-predication
+            # scratch, so it's only tried below the unroll limit
+            cands = ((640, 384, 256, 512)
+                     if scene.spheres.count <= _UNROLL_LIMIT
+                     else (384, 256, 512))
+            for th in cands:
                 if V % th == 0:
                     tile_h = th
                     break
