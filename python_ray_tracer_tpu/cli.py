@@ -161,6 +161,30 @@ def cmd_fit(args) -> int:
     return 0
 
 
+def cmd_animate(args) -> int:
+    """Orbit-animation demo: render N frames around the scene in ONE compiled
+    program (lax.map over a stacked camera trajectory) and save a GIF."""
+    from . import animation
+
+    cfg, scene, _ = _build(args)
+    cams = animation.orbit_cameras((cfg.width, cfg.height),
+                                   center=[1.0, 0.0, 1.0], radius=4.0,
+                                   height=1.5, n_frames=args.frames,
+                                   fov=cfg.fov)
+    secs = time_fn(lambda: animation.render_frames(
+        cams, scene, depth=cfg.depth, aliasing=cfg.aliasing, compat=cfg.compat,
+        backend=cfg.backend)[0], warmup=1, iters=3)
+    frames = animation.render_frames(cams, scene, depth=cfg.depth,
+                                     aliasing=cfg.aliasing, compat=cfg.compat,
+                                     backend=cfg.backend)
+    print(f"{args.frames} frames in {secs * 1000:,.1f} ms "
+          f"({secs * 1000 / args.frames:,.2f} ms/frame, backend={cfg.backend})")
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    animation.save_animation(frames, args.out, fps=args.fps)
+    print(f"saved {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python_ray_tracer_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -171,11 +195,19 @@ def main(argv=None) -> int:
     pf.add_argument("--steps", type=int, default=150)
     pf.add_argument("--lr", type=float, default=1e-2)
     pf.add_argument("--mode", choices=["soft", "hard"], default="soft")
+    pa = sub.add_parser("animate", help="orbit-animation GIF (single compile)")
+    _add_render_args(pa)
+    pa.add_argument("--frames", type=int, default=24)
+    pa.add_argument("--fps", type=int, default=12)
     args = ap.parse_args(argv)
     if args.cmd == "render":
         return cmd_render(args)
     if args.cmd == "fit":
         return cmd_fit(args)
+    if args.cmd == "animate":
+        args.out = (args.out if args.out != "output/render.png"
+                    else "output/orbit.gif")
+        return cmd_animate(args)
     return 1
 
 
