@@ -1115,7 +1115,11 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
     # costs 812 KB — see _tile_visibility). Per-tile lists are compacted to
     # K=32 slots (demo scenes peak at ~8 visible spheres/tile; overflow tiles
     # fall back to a full sweep via the -1 sentinel).
-    vis_k = min(ns, 32)
+    # Compact-list capacity: 32 covers ~100-object scenes; denser scenes
+    # overflow too many tiles into sentinel full sweeps (1000 spheres @1080p:
+    # 24% of tiles at K=32, zero at K=64 with mean 16 visible), so the cap
+    # scales with the scene until the SMEM table budget stops it.
+    vis_k = min(ns, 32 if ns <= 256 else 64 if ns <= 2048 else 128)
     culled = cull and ns > _UNROLL_LIMIT and n_u * n_v * vis_k <= 160_000
     sh_cull = shadow_cull and ns > _UNROLL_LIMIT
     # Rolled scenes: shadow sweeps scan a copy of the sphere table sorted by

@@ -235,3 +235,29 @@ def test_bwd_slices_sum_to_full(demo_scene):
                        jax.tree_util.tree_leaves(hi)):
         np.testing.assert_allclose(np.asarray(b) + np.asarray(c),
                                    np.asarray(a), rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("aa_share", [
+    False,
+    # shared-AA interpret traces 3 programs (~10 min on this host)
+    pytest.param(True, marks=pytest.mark.slow)])
+def test_bwd_aa_slices_sum_to_full(demo_scene, aa_share):
+    """AA slice backwards: shared half-offset samples STRADDLE shard
+    boundaries — each shard's backward contributes only its pixels' share of
+    a boundary sample's cotangent, and the shares must sum (via psum in the
+    sharded step) to the full-image gradient."""
+    cam = rt.default_camera((16, 16))
+    g_img = jax.random.normal(jax.random.key(2), (16, 16, 3),
+                              jnp.float32) * 1e-3
+    kw = dict(depth=1, compat=True, tile_w=8, tile_h=16, interpret=True,
+              aliasing=True, aa_share=aa_share)
+    full = scene_grads_pallas(cam, demo_scene, g_img, **kw)
+    lo = scene_grads_pallas(cam, demo_scene, g_img[:8], x_offset=0.0,
+                            local_width=8, **kw)
+    hi = scene_grads_pallas(cam, demo_scene, g_img[8:], x_offset=8.0,
+                            local_width=8, **kw)
+    for a, b, c in zip(jax.tree_util.tree_leaves(full),
+                       jax.tree_util.tree_leaves(lo),
+                       jax.tree_util.tree_leaves(hi)):
+        np.testing.assert_allclose(np.asarray(b) + np.asarray(c),
+                                   np.asarray(a), rtol=1e-4, atol=1e-6)
