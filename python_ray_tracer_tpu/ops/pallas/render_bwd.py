@@ -34,7 +34,6 @@ refl, spec, shin, cam_pos (3), rot (9), fov]``.
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -47,7 +46,7 @@ from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
                             _P_X0, _P_OFFS,
                             AA_OFFSETS, _pack_params, _UNROLL_LIMIT, FAR, BIAS,
                             BIG, _rnorm, _fold_objects, _sphere_occ_cheap,
-                            _shadow_cheap_ok)
+                            _shadow_cheap_ok, _resolve_swap)
 
 _DEN_EPS = 1e-6   # grazing-hit clamp for implicit-function t adjoints
 
@@ -836,10 +835,7 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     lts = (scene.lights.position.T.astype(jnp.float32) if nl else
            jnp.zeros((3, 1), jnp.float32))
 
-    def _lane_waste(n):
-        up = -(-n // 128) * 128
-        return (up - n) / n
-    swap_xy = _lane_waste(W_out) < _lane_waste(H)
+    swap_xy = _resolve_swap(W_out, H)
     U = H if swap_xy else W_out
     V = W_out if swap_xy else H
     TW = min(tile_w, U)
@@ -869,7 +865,6 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
         interpret=interpret,
     )(params, sph, pln, lts, g_chw)
 
-    slots, _ = grad_layout(ns, npl, nl)
     sph_g = flat[:7 * ns].reshape(ns, 7) if ns else jnp.zeros((0, 7))
     off = 7 * ns
     pln_g = flat[off:off + 9 * npl].reshape(npl, 9) if npl else jnp.zeros((0, 9))

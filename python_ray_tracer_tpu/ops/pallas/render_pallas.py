@@ -1000,6 +1000,16 @@ def _shadow_cheap_ok(scene, compat) -> bool:
         return False
 
 
+def _resolve_swap(w_out: int, h: int) -> bool:
+    """Axis layout: True puts image y on sublanes / x on lanes. Picks the
+    pairing that pads fewer 128-lane vreg columns (1080p: W=1920 is 15x128
+    exact, H=1080 pads to 1152 -> swap). Single source of truth — the forward,
+    backward, soft, and tile-policy resolvers must all agree or a sharded
+    backward could disagree with its forward on image orientation."""
+    waste = lambda n: (-(-n // 128) * 128 - n) / n
+    return waste(w_out) < waste(h)
+
+
 def _auto_tiles(camera, scene, *, aliasing, aa_share, tile_w, tile_h,
                 local_width):
     """Resolve ``None`` tile sizes to the measured-best v5e defaults.
@@ -1012,8 +1022,7 @@ def _auto_tiles(camera, scene, *, aliasing, aa_share, tile_w, tile_h,
     headline keeps (40, 128) (1.51 ms). TW72+TH640 exceeds scoped VMEM."""
     W, H = camera.resolution
     W_out = W if local_width is None else local_width
-    up = lambda n: -(-n // 128) * 128
-    swap = (up(W_out) - W_out) / W_out < (up(H) - H) / H
+    swap = _resolve_swap(W_out, H)
     U, V = (H, W_out) if swap else (W_out, H)
     if tile_h is None:
         tile_h = 128
@@ -1083,12 +1092,7 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
     S = len(AA_OFFSETS) if aliasing else 1
     W_out = W if local_width is None else local_width
 
-    # Layout choice: put the dimension that pads fewer lanes on the lane axis
-    # (e.g. 1080p: W=1920 is 15x128 exact, H=1080 pads to 1152 — swap).
-    def _lane_waste(n):
-        up = -(-n // 128) * 128
-        return (up - n) / n
-    swap_xy = _lane_waste(W_out) < _lane_waste(H)
+    swap_xy = _resolve_swap(W_out, H)
     U = H if swap_xy else W_out   # sublane-axis extent
     V = W_out if swap_xy else H   # lane-axis extent
     TW = min(tile_w, U)
@@ -1118,8 +1122,11 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
     # Compact-list capacity: 32 covers ~100-object scenes; denser scenes
     # overflow too many tiles into sentinel full sweeps (1000 spheres @1080p:
     # 24% of tiles at K=32, zero at K=64 with mean 16 visible), so the cap
-    # scales with the scene until the SMEM table budget stops it.
+    # scales with the scene — then steps back DOWN while it busts the SMEM
+    # table budget (a large grid with a reduced K still beats no cull at all).
     vis_k = min(ns, 32 if ns <= 256 else 64 if ns <= 2048 else 128)
+    while vis_k > 32 and n_u * n_v * vis_k > 160_000:
+        vis_k //= 2
     culled = cull and ns > _UNROLL_LIMIT and n_u * n_v * vis_k <= 160_000
     sh_cull = shadow_cull and ns > _UNROLL_LIMIT
     # Rolled scenes: shadow sweeps scan a copy of the sphere table sorted by

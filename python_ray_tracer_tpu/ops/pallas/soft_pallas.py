@@ -35,7 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
-                            _P_DZ, _P_AMB, _P_LAMB, _pack_params, _rnorm)
+                            _P_DZ, _P_AMB, _P_LAMB, _pack_params, _rnorm,
+                            _resolve_swap)
 
 _SOFT_UNROLL_LIMIT = 24   # objects fully unrolled in registers
 
@@ -188,10 +189,7 @@ def render_image_soft_pallas(camera, scene, *, tau=0.05, tile_w: int = 40,
     lts = (scene.lights.position.T.astype(jnp.float32) if nl else
            jnp.zeros((3, 1), jnp.float32))
 
-    def _lane_waste(n):
-        up = -(-n // 128) * 128
-        return (up - n) / n
-    swap_xy = _lane_waste(W) < _lane_waste(H)
+    swap_xy = _resolve_swap(W, H)
     U = H if swap_xy else W
     V = W if swap_xy else H
     TW = min(tile_w, U)
