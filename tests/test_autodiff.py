@@ -130,7 +130,8 @@ def test_camera_grads_interior(geo_setup):
 
 # --- robustness ------------------------------------------------------------------
 
-def test_no_nan_grads_full_pipeline(setup):
+@pytest.mark.slow  # depth-4 AA autodiff compile ~30 s; depth-2 NaN coverage
+def test_no_nan_grads_full_pipeline(setup):  # stays fast via the other tests
     cam, scene, _ = setup
     def loss(s):
         return jnp.sum(rt.render_image(cam, s, depth=4, aliasing=True) ** 2)

@@ -36,8 +36,10 @@ def _compare(cam, scene, *, depth, aliasing, compat, tile_w=8, tile_h=32,
     (0, False, True),
     (2, False, True),
     (2, True, True),
-    (2, True, False),
-    (4, False, True),
+    # clean-AA and depth-4 each re-trace the interpret graph (10-15 s); the
+    # fast suite keeps one AA and one clean variant, --runslow restores these
+    pytest.param(2, True, False, marks=pytest.mark.slow),
+    pytest.param(4, False, True, marks=pytest.mark.slow),
 ])
 def test_pallas_matches_jnp(demo_scene, depth, aliasing, compat):
     cam = rt.default_camera((32, 32))
@@ -85,9 +87,10 @@ def test_pallas_large_scene_rolled_loops():
 
 
 @pytest.mark.parametrize("aliasing,aa_share,depth", [
-    (False, False, 2), (True, False, 1),
-    # the shared-AA interpret graph alone takes ~40 s to trace on this host;
-    # AA-cull exactness is covered by the per-sample variant above
+    # no-AA cull exactness also rides test_pallas_large_scene_rolled_loops;
+    # the depth-2 no-AA and shared-AA variants are 16-40 s traces
+    pytest.param(False, False, 2, marks=pytest.mark.slow),
+    (True, False, 1),
     pytest.param(True, True, 1, marks=pytest.mark.slow)])
 def test_pallas_cone_cull_exact(aliasing, aa_share, depth):
     """The conservative per-tile cone cull must be invisible: culled == unculled
@@ -253,14 +256,21 @@ def test_shadow_cheap_guard_huge_radius():
     assert _shadow_cheap_ok(huge, False)  # clean mode: exact at any radius
 
 
-@pytest.mark.parametrize("compat", [True, False])
-def test_pallas_shadow_cull_exact(compat):
+@pytest.mark.parametrize("compat,aliasing", [
+    (True, False),
+    # clean mode re-traces the sweep (~21 s); its cull guard logic differs
+    # only in the radius fallback, covered by test_shadow_cheap_guard_*
+    pytest.param(False, False, marks=pytest.mark.slow),
+    pytest.param(True, True, marks=pytest.mark.slow)])
+def test_pallas_shadow_cull_exact(compat, aliasing):
     """shadow_cull=True must be invisible: culled == unculled bit-for-bit.
 
     Includes an occluder planted BEYOND a light: the reference's any-hit
     counts hits at any 0 < t < FAR (unbounded in clean mode), so a sphere
     past the light still shadows — the cull's swept region must include the
-    beyond-the-light cone, not stop at the light."""
+    beyond-the-light cone, not stop at the light. The aliasing=True case
+    exercises the shared-AA kernel's shadow-cull table path, which builds
+    its swept cone from the jittered half-grid rays."""
     import python_ray_tracer_tpu.models.scene as sc
     base = rt.random_scene(jax.random.key(5), n_spheres=24)
     L0 = np.asarray(base.lights.position)[0]
@@ -274,8 +284,8 @@ def test_pallas_shadow_cull_exact(compat):
             albedo=jnp.concatenate([base.spheres.albedo,
                                     jnp.asarray([[1.0, 0.0, 0.0]])])))
     cam = rt.Camera.build((24, 16), [-7, 0, 3], [0, -20, 0])
-    kw = dict(depth=1, aliasing=False, compat=compat, tile_w=8, tile_h=8,
-              interpret=True)
+    kw = dict(depth=1, aliasing=aliasing, aa_share=True, compat=compat,
+              tile_w=8, tile_h=8, interpret=True)
     culled = np.asarray(render_image_pallas(cam, scene, shadow_cull=True, **kw))
     plain = np.asarray(render_image_pallas(cam, scene, shadow_cull=False, **kw))
     np.testing.assert_array_equal(culled, plain)

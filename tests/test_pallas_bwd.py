@@ -24,10 +24,11 @@ def _grads(cam, scene, depth, wh_target_scale=0.9):
     return g_ker, g_ref
 
 
-@pytest.mark.parametrize("wh,depth", [
-    (24, 1),
-    pytest.param(32, 2, marks=pytest.mark.slow),
-])
+# Demo-scene interpret traces cost 40-65 s each on this host (tracing scales
+# with the unrolled object/light count); the fast suite covers the same
+# adjoint machinery on a small scene in test_bwd_small_scene_parity_and_slices.
+@pytest.mark.slow
+@pytest.mark.parametrize("wh,depth", [(24, 1), (32, 2)])
 def test_bwd_matches_autodiff(demo_scene, wh, depth):
     cam = rt.default_camera((wh, wh))
     g_ker, g_ref = _grads(cam, demo_scene, depth)
@@ -53,6 +54,7 @@ def test_bwd_matches_autodiff(demo_scene, wh, depth):
         assert a == pytest.approx(b, rel=1e-3, abs=1e-8), name
 
 
+@pytest.mark.slow
 def test_bwd_specular_matches_autodiff(demo_scene):
     """Clean-mode Phong: fused adjoints for specular/shininess (and the extra
     L.R chains into lights/normals) vs jax.grad (VERDICT r1 #4: these slots
@@ -85,6 +87,7 @@ def test_bwd_specular_matches_autodiff(demo_scene):
                                rtol=1e-3, atol=1e-7)
 
 
+@pytest.mark.slow  # shares test_bwd_matches_autodiff's traced program; see above
 def test_bwd_no_nan_partial_tiles(demo_scene):
     """Non-tile-aligned resolutions must mask padded cotangent lanes."""
     cam = rt.default_camera((24, 24))  # 24 % 32 != 0 in the lane dim
@@ -215,6 +218,7 @@ def test_bwd_aliasing_matches_autodiff(demo_scene, aa_share):
         float(g_ref.materials.lambert), rel=1e-3)
 
 
+@pytest.mark.slow
 def test_bwd_slices_sum_to_full(demo_scene):
     """x_offset/local_width: the fused backward of a vertical image slice must
     see global pixel coordinates (ray-DP sharding), and the slice gradients
@@ -237,10 +241,8 @@ def test_bwd_slices_sum_to_full(demo_scene):
                                    np.asarray(a), rtol=1e-5, atol=1e-8)
 
 
-@pytest.mark.parametrize("aa_share", [
-    False,
-    # shared-AA interpret traces 3 programs (~10 min on this host)
-    pytest.param(True, marks=pytest.mark.slow)])
+@pytest.mark.slow  # 3 demo-scene AA interpret programs; shared-AA alone ~10 min
+@pytest.mark.parametrize("aa_share", [False, True])
 def test_bwd_aa_slices_sum_to_full(demo_scene, aa_share):
     """AA slice backwards: shared half-offset samples STRADDLE shard
     boundaries — each shard's backward contributes only its pixels' share of
@@ -261,3 +263,60 @@ def test_bwd_aa_slices_sum_to_full(demo_scene, aa_share):
                        jax.tree_util.tree_leaves(hi)):
         np.testing.assert_allclose(np.asarray(b) + np.asarray(c),
                                    np.asarray(a), rtol=1e-4, atol=1e-6)
+
+
+def test_bwd_small_scene_parity_and_slices():
+    """Fast-suite fused-backward coverage (the demo-scene variants above are
+    40-78 s interpret traces and run under --runslow only). One small scene —
+    2 spheres, 1 plane, 1 light, clean mode with Phong specular ON — checks,
+    against jax.vjp of the jnp renderer:
+      * every adjoint slot incl. specular/shininess (VERDICT r1 #4),
+      * NaN-free grads with a non-tile-aligned lane dim (32x16 at tile_h=32
+        pads half the lanes),
+      * the x_offset/local_width slice path: two half-slice gradients must
+        sum to the full-image gradients (ray-DP sharding's invariant)."""
+    scene = rt.Scene(
+        rt.Spheres.build([([2.5, 0.5, 1.0], 0.8, rt.RED),
+                          ([1.5, -0.9, 0.5], 0.5, rt.BLUE)]),
+        rt.Planes.build([([5, 0, 0], [0, 0, 1], rt.GREY)]),
+        rt.Lights.build([[2.5, -2.0, 3.0]]),
+        rt.Materials.build(specular=0.6, shininess=8.0))
+    cam = rt.default_camera((32, 16))
+    target = rt.render_image(cam, scene, depth=1, aliasing=False,
+                             compat=False) * 0.9
+    img, vjp_fn = jax.vjp(
+        lambda s: rt.render_image(cam, s, depth=1, aliasing=False,
+                                  compat=False), scene)
+    g_img = 2.0 * (img - target) / img.size
+    g_ref = vjp_fn(g_img)[0]
+    kw = dict(depth=1, compat=False, tile_w=8, tile_h=32, interpret=True)
+    g_ker = scene_grads_pallas(cam, scene, g_img, **kw)
+
+    for leaf in jax.tree_util.tree_leaves(g_ker):
+        assert not bool(jnp.isnan(leaf).any())
+    for name in ("specular", "shininess", "ambient", "lambert", "reflection"):
+        a = float(getattr(g_ker.materials, name))
+        b = float(getattr(g_ref.materials, name))
+        assert a == pytest.approx(b, rel=2e-3, abs=1e-8), (name, a, b)
+    assert abs(float(g_ker.materials.specular)) > 0.0
+    for a, b in [(g_ker.spheres.center, g_ref.spheres.center),
+                 (g_ker.spheres.radius, g_ref.spheres.radius),
+                 (g_ker.lights.position, g_ref.lights.position)]:
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / (np.abs(b).max() + 1e-12) < 5e-2
+    for a, b in [(g_ker.spheres.albedo, g_ref.spheres.albedo),
+                 (g_ker.planes.albedo, g_ref.planes.albedo),
+                 (g_ker.planes.origin, g_ref.planes.origin),
+                 (g_ker.planes.normal, g_ref.planes.normal)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-7)
+
+    lo = scene_grads_pallas(cam, scene, g_img[:16], x_offset=0.0,
+                            local_width=16, **kw)
+    hi = scene_grads_pallas(cam, scene, g_img[16:], x_offset=16.0,
+                            local_width=16, **kw)
+    for a, b, c in zip(jax.tree_util.tree_leaves(g_ker),
+                       jax.tree_util.tree_leaves(lo),
+                       jax.tree_util.tree_leaves(hi)):
+        np.testing.assert_allclose(np.asarray(b) + np.asarray(c),
+                                   np.asarray(a), rtol=1e-4, atol=1e-7)

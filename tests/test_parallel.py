@@ -146,6 +146,7 @@ def test_sharded_soft_loss_matches_single(mesh):
                                atol=1e-7)
 
 
+@pytest.mark.slow  # 78 s: fused fwd+bwd interpret traces under shard_map
 def test_sharded_fused_value_and_grad(demo_scene):
     """Ray-DP training with the fused Mosaic kernels on every shard: loss and
     psum'd scene grads must match the single-device fused path exactly (the

@@ -125,6 +125,7 @@ def test_soft_pallas_matches_jnp():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.slow  # 17 s autodiff-through-interpret trace; forward parity stays fast
 def test_soft_pallas_fast_grads_match_jnp():
     """custom_vjp wrapper: gradients equal the jnp soft path's gradients."""
     import jax
