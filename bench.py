@@ -131,8 +131,12 @@ def main() -> int:
     worker.join(timeout=budget)
     timed_out = worker.is_alive()
     headline = state["headline"]
+    # snapshot: the still-alive worker may mutate the dict mid-json.dumps
+    secondary = dict(state["secondary"])
     if headline is None:
         log(f"bench produced no headline within {budget:.0f} s")
+        if timed_out:
+            os._exit(1)  # a hung tunnel call would also hang atexit finalizers
         return 1
     if timed_out:
         log(f"budget {budget:.0f} s expired; emitting results measured so far")
@@ -141,7 +145,7 @@ def main() -> int:
         "value": round(headline, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(headline / 1000.0, 4),
-        "secondary": state["secondary"],
+        "secondary": secondary,
     }), flush=True)
     if timed_out:
         os._exit(0)  # a hung tunnel call cannot be joined; exit hard

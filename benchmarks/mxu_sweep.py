@@ -27,8 +27,9 @@ closest-hit over 1080p x K spheres in two XLA forms:
 to see whether routing the dots through the MXU pays for the (N,K)
 materialization/fusion behavior.
 """
+import os
 import sys
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,7 +58,7 @@ def vpu_form(d, o, C, r):
     def body(carry, j):
         best_t, best_j = carry
         cd = d @ C[j]                              # (N,)
-        b = 2.0 * (jnp.dot(o, d.T) - cd) if False else 2.0 * (d @ o - cd)
+        b = 2.0 * (d @ o - cd)
         c = oo - 2.0 * oc_all[j] + cc[j]
         disc = b * b - 4.0 * a * c
         has = disc >= 0.0

@@ -21,6 +21,9 @@ from .models.camera import Camera, euler_rotation
 
 def stack_cameras(cameras: Sequence[Camera]) -> Camera:
     """Stack same-resolution cameras leaf-wise into one batched pytree."""
+    if not cameras:
+        raise ValueError("stack_cameras needs at least one camera "
+                         "(cli animate: --frames must be >= 1)")
     res = cameras[0].resolution
     assert all(c.resolution == res for c in cameras), "resolutions must match"
     return Camera(

@@ -162,8 +162,9 @@ def cmd_fit(args) -> int:
 
 
 def cmd_animate(args) -> int:
-    """Orbit-animation demo: render N frames around the scene in ONE compiled
-    program (lax.map over a stacked camera trajectory) and save a GIF."""
+    """Orbit-animation demo: render N frames around the scene in jit-unrolled
+    blocks over a stacked camera trajectory (animation.render_frames; blocks of
+    12 amortize dispatch without tracing one huge program) and save a GIF."""
     from . import animation
 
     cfg, scene, _ = _build(args)
@@ -195,8 +196,9 @@ def main(argv=None) -> int:
     pf.add_argument("--steps", type=int, default=150)
     pf.add_argument("--lr", type=float, default=1e-2)
     pf.add_argument("--mode", choices=["soft", "hard"], default="soft")
-    pa = sub.add_parser("animate", help="orbit-animation GIF (single compile)")
+    pa = sub.add_parser("animate", help="orbit-animation GIF (batched frames)")
     _add_render_args(pa)
+    pa.set_defaults(out="output/orbit.gif")
     pa.add_argument("--frames", type=int, default=24)
     pa.add_argument("--fps", type=int, default=12)
     args = ap.parse_args(argv)
@@ -205,8 +207,6 @@ def main(argv=None) -> int:
     if args.cmd == "fit":
         return cmd_fit(args)
     if args.cmd == "animate":
-        args.out = (args.out if args.out != "output/render.png"
-                    else "output/orbit.gif")
         return cmd_animate(args)
     return 1
 
