@@ -23,9 +23,14 @@ Compat semantics reproduced exactly (for parity with the reference):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-FAR = jnp.float32(999.0)  # reference init distance, trace.py:17
-BIG = jnp.float32(1e30)   # internal "no hit" distance
+# np.float32 (not jnp.float32) scalars: the jnp scalar constructor creates a
+# device array, which would initialize the XLA backend at import time and
+# break multi-host startup (jax.distributed.initialize must run before any
+# backend init — parallel/distributed.py, tests/mp_worker.py).
+FAR = np.float32(999.0)  # reference init distance, trace.py:17
+BIG = np.float32(1e30)   # internal "no hit" distance
 
 
 def _safe_div(num, den, eps=1e-30):

@@ -16,10 +16,12 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from .intersect import closest_hit, any_hit
 
-BIAS = jnp.float32(2e-4)  # shadow/mirror acne offset, reference trace.py:82
+# np.float32, not jnp.float32: no backend init at import (see ops/intersect.py)
+BIAS = np.float32(2e-4)  # shadow/mirror acne offset, reference trace.py:82
 
 
 def _normalize(v, axis=-1):
