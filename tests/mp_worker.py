@@ -13,6 +13,7 @@ import os
 import sys
 
 pid, port = int(sys.argv[1]), sys.argv[2]
+check_train = len(sys.argv) > 3 and sys.argv[3] == "train"
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
@@ -54,5 +55,32 @@ np.testing.assert_allclose(fb, ref, atol=2e-5)
 # host-level fallback path (no mesh passed): multihost_utils.process_allgather
 fb2 = gather_framebuffer(img)
 np.testing.assert_allclose(fb2, ref, atol=2e-5)
+
+if check_train:
+    # Training collective ("train" argv flag — the cross-process autodiff
+    # traces are heavy, so this runs under the slow test only): value_and_grad
+    # of the sharded render-to-loss — the shard_map transpose psums loss and
+    # replicated-scene grads ACROSS the real process boundary; both must match
+    # the single-device values.
+    import dataclasses  # noqa: E402
+
+    from python_ray_tracer_tpu import train  # noqa: E402
+    from python_ray_tracer_tpu.parallel.mesh import image_sharding  # noqa: E402
+    from python_ray_tracer_tpu.parallel.render_sharded import make_loss_fn  # noqa: E402
+
+    target = rt.render_image(cam, scene, depth=1, aliasing=False)
+    target_sh = jax.device_put(target, image_sharding(mesh))
+    perturbed = dataclasses.replace(
+        scene, spheres=dataclasses.replace(scene.spheres,
+                                           center=scene.spheres.center + 0.05))
+    loss_sh, grads_sh = jax.value_and_grad(
+        make_loss_fn(cam, target_sh, mesh, depth=1, aliasing=False))(perturbed)
+    loss_1, grads_1 = jax.value_and_grad(
+        train.pixel_loss(cam, target, depth=1))(perturbed)
+    assert abs(float(loss_sh) - float(loss_1)) < 1e-5 * abs(float(loss_1))
+    for a, b in zip(jax.tree_util.tree_leaves(grads_sh),
+                    jax.tree_util.tree_leaves(grads_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
+                                   atol=1e-5)
 
 print(f"MP_OK {pid}", flush=True)

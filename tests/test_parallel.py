@@ -177,6 +177,27 @@ def test_sharded_fused_value_and_grad(demo_scene):
                                    rtol=1e-4, atol=1e-7)
 
 
+def _run_mp_workers(extra_args=(), timeout=240):
+    """Launch the 2-process loopback-Gloo cluster (tests/mp_worker.py)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {**os.environ, "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), str(port), *extra_args],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in (0, 1)]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0 and f"MP_OK {i}" in out, (i, out[-2000:])
+
+
 def test_multiprocess_framebuffer_assembly():
     """REAL multi-process validation of the multi-host path (VERDICT r1 #6 was
     closed with a virtual-mesh test; this goes further): two OS processes form
@@ -188,20 +209,13 @@ def test_multiprocess_framebuffer_assembly():
     Also guards the import-time invariant that makes this possible at all:
     importing the package must not initialize the XLA backend
     (jax.distributed.initialize must come first on a real pod)."""
-    import os
-    import socket
-    import subprocess
-    import sys
+    _run_mp_workers()
 
-    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    env = {**os.environ, "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
-    procs = [subprocess.Popen([sys.executable, worker, str(i), str(port)],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env)
-             for i in (0, 1)]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0 and f"MP_OK {i}" in out, (i, out[-2000:])
+
+@pytest.mark.slow  # cross-process autodiff traces ~2 min on the 4-core host
+def test_multiprocess_training_psum():
+    """The training collective across a real process boundary: value_and_grad
+    of the sharded render-to-loss psums the loss and the replicated-scene
+    gradients over loopback Gloo; both must match single-device values
+    (mp_worker.py 'train' section)."""
+    _run_mp_workers(extra_args=("train",), timeout=420)
