@@ -187,6 +187,14 @@ def cmd_animate(args) -> int:
 
 
 def main(argv=None) -> int:
+    # RT_PLATFORM=cpu lets the CLI run without the TPU (e.g. when the chip or
+    # its compile tunnel is unreachable). Importing this package does not
+    # initialize the XLA backend (see ops/intersect.py), so the override here
+    # lands before any device is touched.
+    platform = os.environ.get("RT_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
     ap = argparse.ArgumentParser(prog="python_ray_tracer_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
     pr = sub.add_parser("render", help="render a scene to PNG")
