@@ -1000,6 +1000,24 @@ def _shadow_cheap_ok(scene, compat) -> bool:
         return False
 
 
+_CULL_BUDGET = 160_000  # SMEM entries for the per-tile visibility tables
+
+
+def _cull_capacity(ns: int, n_tiles: int) -> int:
+    """Compact-list slots per tile for the primary cone cull.
+
+    32 covers ~100-object scenes; denser scenes overflow too many tiles into
+    sentinel full sweeps (1000 spheres @1080p: 24% of tiles at K=32, zero at
+    K=64 with mean 16 visible), so the cap scales with the scene — then steps
+    back DOWN while it busts the SMEM table budget (a large grid with a
+    reduced K still beats no cull at all). The caller disables the cull
+    entirely when even the floor capacity exceeds the budget."""
+    vis_k = min(ns, 32 if ns <= 256 else 64 if ns <= 2048 else 128)
+    while vis_k > 32 and n_tiles * vis_k > _CULL_BUDGET:
+        vis_k //= 2
+    return vis_k
+
+
 def _resolve_swap(w_out: int, h: int) -> bool:
     """Axis layout: True puts image y on sublanes / x on lanes. Picks the
     pairing that pads fewer 128-lane vreg columns (1080p: W=1920 is 15x128
@@ -1119,15 +1137,8 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
     # costs 812 KB — see _tile_visibility). Per-tile lists are compacted to
     # K=32 slots (demo scenes peak at ~8 visible spheres/tile; overflow tiles
     # fall back to a full sweep via the -1 sentinel).
-    # Compact-list capacity: 32 covers ~100-object scenes; denser scenes
-    # overflow too many tiles into sentinel full sweeps (1000 spheres @1080p:
-    # 24% of tiles at K=32, zero at K=64 with mean 16 visible), so the cap
-    # scales with the scene — then steps back DOWN while it busts the SMEM
-    # table budget (a large grid with a reduced K still beats no cull at all).
-    vis_k = min(ns, 32 if ns <= 256 else 64 if ns <= 2048 else 128)
-    while vis_k > 32 and n_u * n_v * vis_k > 160_000:
-        vis_k //= 2
-    culled = cull and ns > _UNROLL_LIMIT and n_u * n_v * vis_k <= 160_000
+    vis_k = _cull_capacity(ns, n_u * n_v)
+    culled = cull and ns > _UNROLL_LIMIT and n_u * n_v * vis_k <= _CULL_BUDGET
     sh_cull = shadow_cull and ns > _UNROLL_LIMIT
     # Rolled scenes: shadow sweeps scan a copy of the sphere table sorted by
     # max-over-lights apparent angular size (r / |c - L|, descending) so the

@@ -293,3 +293,23 @@ def test_pallas_shadow_cull_exact(compat, aliasing):
     # the image must differ (the unlimited-range quirk is exercised)
     without = np.asarray(render_image_pallas(cam, base, shadow_cull=False, **kw))
     assert np.abs(plain - without).max() > 1e-3
+
+
+def test_cull_capacity_policy():
+    """Compact-table sizing: K scales with scene density, then halves while the
+    SMEM table budget would be exceeded (a large grid with a reduced K still
+    beats no cull), and never drops below the 32-slot floor."""
+    from python_ray_tracer_tpu.ops.pallas.render_pallas import (_CULL_BUDGET,
+                                                                _cull_capacity)
+    assert _cull_capacity(6, 405) == 6            # tiny scene: K = ns
+    assert _cull_capacity(100, 405) == 32         # <=256 spheres: floor
+    assert _cull_capacity(1000, 405) == 64        # dense 1080p grid: scaled up
+    assert _cull_capacity(4000, 405) == 128
+    # 4K-scale grid (3240 tiles): 1000 spheres wants K=64 = 207k entries,
+    # over the 160k budget -> steps down to 32 (103k fits)
+    assert _cull_capacity(1000, 3240) == 64 // 2
+    assert 3240 * _cull_capacity(1000, 3240) <= _CULL_BUDGET
+    # pathological grid: floor reached while still over budget -> caller
+    # disables the cull (capacity itself stays at the floor)
+    k = _cull_capacity(1000, 10_000)
+    assert k == 32 and 10_000 * k > _CULL_BUDGET
