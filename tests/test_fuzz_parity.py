@@ -55,3 +55,36 @@ def test_fuzz_scene_parity(seed):
     diff = np.abs(fb_j - fb_o.astype(np.int32))
     assert (diff > 2).mean() <= 0.01, (seed, diff.max(), (diff > 2).mean())
     assert (diff <= 1).mean() > 0.97, (seed, (diff <= 1).mean())
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", list(range(1000, 1010)))
+def test_fuzz_scene_parity_extended(seed):
+    """Broader randomized parity incl. ALIASING and depth 3 (the fast fuzz
+    above runs 3 no-AA seeds): same generator as the one-off 40-seed sweep
+    that validated round 2 (zero pixels off by >2 anywhere)."""
+    rng = np.random.default_rng(seed)
+    ns = int(rng.integers(1, 7))
+    nl = int(rng.integers(1, 4))
+    soa = _random_soa(rng, ns, nl)
+    depth = int(rng.integers(0, 4))
+    amb = float(rng.uniform(0, 0.3))
+    lamb = float(rng.uniform(0.2, 1.0))
+    refl = float(rng.uniform(0.0, 0.6))
+    aliasing = bool(rng.integers(0, 2))
+    w = h = 12
+
+    fb_o = oracle.render(oracle.OracleScene(*soa), w, h, [-2, 0, 2], [0, -25, 0],
+                         amb=amb, lamb=lamb, refl=refl, depth=depth,
+                         aliasing=aliasing)
+    scene = rt.Scene.from_soa(np.asarray(soa[0], np.float32),
+                              np.asarray(soa[1], np.float32),
+                              np.asarray(soa[2], np.float32),
+                              rt.Materials.build(amb, lamb, refl))
+    cam = rt.Camera.build((w, h), [-2, 0, 2], [0, -25, 0])
+    img = rt.render_image(cam, scene, depth=depth, aliasing=aliasing, compat=True)
+    fb_j = np.asarray(rt.to_framebuffer(img)).astype(np.int32)
+
+    diff = np.abs(fb_j - fb_o.astype(np.int32))
+    assert (diff > 2).mean() <= 0.01, (seed, diff.max(), (diff > 2).mean())
+    assert (diff <= 1).mean() > 0.97, (seed, (diff <= 1).mean())
