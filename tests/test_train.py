@@ -4,6 +4,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import python_ray_tracer_tpu as rt
 from python_ray_tracer_tpu import train
@@ -97,3 +98,37 @@ def test_checkpoint_resume_training(tmp_path):
     resumed = rt.load_pytree(path, init)
     _, losses2 = train.fit_scene(resumed, cam, target, steps=10, lr=2e-2, depth=1)
     assert losses2[-1] < losses1[0]
+
+
+def test_fit_camera_recovers_pose():
+    """Inverse rendering w.r.t. the CAMERA (train.fit_camera): recover a
+    perturbed pose from a target image. The camera is an analytic
+    differentiable pytree (the reference bakes its grid on the host,
+    src/camera.py:18-26, so this capability has no analogue there). Exact
+    recovery is not expected at this resolution — pose is near-ambiguous along
+    translation/rotation trade-off directions — so assert substantial loss and
+    pose-error contraction, plus that the fitted rotation stays on SO(3) (the
+    fit reconstructs it from Euler angles every step)."""
+    scene = rt.Scene(
+        rt.Spheres.build([([2.5, 0.5, 1.0], 0.8, rt.RED),
+                          ([1.5, -0.9, 0.5], 0.5, rt.BLUE)]),
+        rt.Planes.build([([5, 0, 0], [0, 0, 1], rt.GREY)]),
+        rt.Lights.build([[2.5, -2.0, 3.0], [2.5, 2.0, 3.0]]),
+        rt.Materials.build())
+    true_cam = rt.Camera.build((24, 24), [-2.0, 0.0, 2.0], [0.0, -30.0, 0.0])
+    target = rt.render_image(true_cam, scene, depth=1, aliasing=False)
+    init = rt.Camera.build((24, 24), [-2.1, 0.08, 1.92], [1.5, -27.5, 2.0])
+
+    fitted, losses = train.fit_camera(init, scene, target, steps=150, depth=1)
+
+    assert losses[-1] < losses[0] * 0.35, losses[::30]
+    err0 = np.abs(np.asarray(init.position) - np.asarray(true_cam.position)).max()
+    err1 = np.abs(np.asarray(fitted.position) - np.asarray(true_cam.position)).max()
+    assert err1 < 0.75 * err0, (err0, err1)
+    rerr0 = np.abs(np.asarray(init.rotation) - np.asarray(true_cam.rotation)).max()
+    rerr1 = np.abs(np.asarray(fitted.rotation) - np.asarray(true_cam.rotation)).max()
+    assert rerr1 < 0.75 * rerr0, (rerr0, rerr1)
+    R = np.asarray(fitted.rotation)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    # fov stayed frozen by default
+    assert float(fitted.fov) == pytest.approx(float(init.fov))
