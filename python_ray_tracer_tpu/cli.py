@@ -115,6 +115,8 @@ def cmd_fit(args) -> int:
     tau annealing — robust even on the crowded 6-sphere demo scene, whose
     silhouette-dominated loss misleads hard-visibility a.e. gradients. ``--mode
     hard`` optimizes through the hard renderer (works on well-separated scenes).
+    ``--mode camera`` fixes the scene and recovers a perturbed camera pose
+    instead (train.fit_camera).
     """
     import dataclasses
     import jax.numpy as jnp
@@ -122,14 +124,37 @@ def cmd_fit(args) -> int:
     from . import train
 
     cfg, scene, cam = _build(args)
-    if args.mode == "hard":
-        # Hard mode needs a well-separated scene to converge.
+    if args.mode in ("hard", "camera"):
+        # Hard-visibility gradients need a well-separated scene to converge
+        # (the crowded demo scene's silhouette-dominated loss misleads them).
         mats = Materials.build(cfg.ambient, cfg.lambert, cfg.reflection)
         scene = Scene(
             Spheres.build([([2.5, 0.5, 1.0], 0.8, RED),
                            ([1.5, -0.9, 0.5], 0.5, BLUE)]),
             Planes.build([([5, 0, 0], [0, 0, 1], GREY)]),
             Lights.build([[2.5, -2.0, 3.0], [2.5, 2.0, 3.0]]), mats)
+    if args.mode == "camera":
+        target = render_image(cam, scene, depth=cfg.depth, aliasing=False,
+                              compat=cfg.compat)
+        init_cam = Camera.build(cam.resolution,
+                                np.asarray(cam.position) + [0.1, -0.08, 0.08],
+                                [1.5, -27.5, 2.0], float(cam.fov))
+        logger = MetricsLogger("fit")
+        fitted, losses = train.fit_camera(init_cam, scene, target,
+                                          steps=args.steps, depth=cfg.depth,
+                                          compat=cfg.compat, logger=logger)
+        p0 = float(np.abs(np.asarray(init_cam.position) -
+                          np.asarray(cam.position)).max())
+        p1 = float(np.abs(np.asarray(fitted.position) -
+                          np.asarray(cam.position)).max())
+        print(f"loss: {losses[0]:.3e} -> {losses[-1]:.3e}  "
+              f"camera pos err: {p0:.3f} -> {p1:.4f}")
+        if args.out:
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            img = render_image(fitted, scene, depth=cfg.depth, aliasing=False,
+                               compat=cfg.compat)
+            save_png(np.asarray(to_framebuffer(img)), args.out)
+        return 0
     init = dataclasses.replace(
         scene, spheres=dataclasses.replace(
             scene.spheres,
@@ -203,7 +228,7 @@ def main(argv=None) -> int:
     _add_render_args(pf)
     pf.add_argument("--steps", type=int, default=150)
     pf.add_argument("--lr", type=float, default=1e-2)
-    pf.add_argument("--mode", choices=["soft", "hard"], default="soft")
+    pf.add_argument("--mode", choices=["soft", "hard", "camera"], default="soft")
     pa = sub.add_parser("animate", help="orbit-animation GIF (batched frames)")
     _add_render_args(pa)
     pa.set_defaults(out="output/orbit.gif")
