@@ -100,3 +100,11 @@ def test_config_reference_defaults():
     assert (cfg.width, cfg.height) == (1000, 1000)
     assert (cfg.ambient, cfg.lambert, cfg.reflection) == (0.0, 0.6, 0.3)
     assert cfg.depth == 2 and cfg.aliasing and cfg.fov == 45.0
+
+
+def test_cli_fit_camera_smoke(tmp_path):
+    """fit --mode camera runs end-to-end (pose params, Euler round-trip, PNG)."""
+    out = os.path.join(tmp_path, "cam.png")
+    assert main(["fit", "--mode", "camera", "--width", "12", "--height", "12",
+                 "--depth", "0", "--steps", "2", "--out", out]) == 0
+    assert os.path.exists(out)
