@@ -46,7 +46,8 @@ from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
                             _P_X0, _P_OFFS,
                             AA_OFFSETS, _pack_params, _UNROLL_LIMIT, FAR, BIAS,
                             BIG, _rnorm, _fold_objects, _sphere_occ_cheap,
-                            _shadow_cheap_ok, _resolve_swap)
+                            _shadow_cheap_ok, _resolve_swap, _tile_visibility,
+                            _cull_capacity, _CULL_BUDGET, _CHUNK)
 
 _DEN_EPS = 1e-6   # grazing-hit clamp for implicit-function t adjoints
 
@@ -79,9 +80,60 @@ def _fold_spheres(ns, body, carry):
     return _fold_objects(ns, body, carry)
 
 
+def _fold_spheres_culled(ns, body, carry, cull):
+    """Fold ``body(j, carry, ok) -> carry`` over the PRIMARY trace's spheres,
+    restricted to this tile's compact visible list when ``cull`` is present.
+
+    Exactness (same cone as the forward kernel, ``_tile_visibility``): a culled
+    sphere provably misses every primary ray of the tile, so it can never win
+    the closest hit, never match ``hit_obj``, and therefore every masked adjoint
+    it would accumulate is identically zero — the fold itself is bit-exact
+    (asserted at the jnp level by
+    ``tests/test_pallas_bwd.py::test_bwd_cull_fold_bitexact_jnp``, including
+    the shared-AA pad rows, whose rays CAN hit culled spheres but carry zero
+    cotangent). Whole-KERNEL cull-vs-nocull comparisons are tolerance-only:
+    the two program variants compile with different fusion/reduction
+    association, which was measured to move camera/light slot totals by ~1
+    ULP even though every per-chain value is bit-identical. Bounce-level
+    sweeps must stay full (reflected origins/directions scatter out of the
+    cone), as must shadow-occlusion folds (shadow rays start at hit points).
+
+    Mirrors ``render_pallas._closest_hit``'s culled sweep: chunk-unrolled
+    ``fori_loop`` with an in-range guard ``ok`` (out-of-range slots re-read a
+    real index and must be masked by the body), sentinel count -1 = the tile
+    overflowed its K slots -> identity full sweep.
+    """
+    if cull is None:
+        return _fold_spheres(ns, lambda j, c: body(j, c, None), carry)
+    vis_ref, cnt_ref, tile_id, K = cull
+    raw = cnt_ref[tile_id]
+    full = raw < 0
+    count = jnp.where(full, ns, raw)
+    base_idx = tile_id * K
+
+    def cull_chunk(k, carry):
+        base = k * _CHUNK
+        for q in range(_CHUNK):
+            jj = base + q
+            ok = jj < count
+            jj_safe = jnp.where(ok, jj, 0)
+            j = jnp.where(full, jj_safe,
+                          vis_ref[base_idx + jnp.minimum(jj_safe, K - 1)])
+            carry = body(j, carry, ok)
+        return carry
+
+    return jax.lax.fori_loop(0, (count + _CHUNK - 1) // _CHUNK,
+                             cull_chunk, carry)
+
+
 def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
-                   cheap_shadow=True):
-    """Forward trace storing every residual the reverse sweep needs."""
+                   cheap_shadow=True, cull=None):
+    """Forward trace storing every residual the reverse sweep needs.
+
+    ``cull`` (primary trace only): per-tile compact visible-sphere list for the
+    closest-hit and hit-attribute folds — see :func:`_fold_spheres_culled`.
+    The shadow-occlusion fold always sweeps all spheres (shadow rays scatter).
+    """
     ox, oy, oz = o
     dx, dy, dz = d
     amb = params[_P_AMB]
@@ -97,7 +149,7 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
     oo = ox * ox + oy * oy + oz * oz
 
     # --- closest hit, tracking the winning object index -----------------------
-    def _ch_body(j, carry):
+    def _ch_body(j, carry, ok=None):
         t, hit_obj = carry
         cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
         cd = cx * dx + cy * dy + cz * dz
@@ -111,12 +163,14 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
         num_far = -b + sq
         t_j = jnp.where(num_near > 0.0, num_near, num_far) / (2.0 * a)
         valid = has & (num_far > 0.0)  # far root >= near root always
+        if ok is not None:
+            valid = valid & ok
         closer = valid & (t_j < t)
         t = jnp.where(closer, t_j, t)
         jf = jnp.float32(j) if isinstance(j, int) else j.astype(jnp.float32)
         hit_obj = jnp.where(closer, jf, hit_obj)
         return t, hit_obj
-    t, hit_obj = _fold_spheres(ns, _ch_body, (t, hit_obj))
+    t, hit_obj = _fold_spheres_culled(ns, _ch_body, (t, hit_obj), cull)
     for j in range(npl):
         nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
         den = dx * nx + dy * ny + dz * nz
@@ -140,10 +194,13 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
     ab = zeros
     qx, qy, qz = zeros, zeros, zeros  # sphere center or plane normal
     is_pl = zeros
-    def _attr_body(j, carry):
+    def _attr_body(j, carry, ok=None):
         ar, ag, ab, qx, qy, qz = carry
         jf = jnp.float32(j) if isinstance(j, int) else j.astype(jnp.float32)
-        m = (hit_obj == jf).astype(jnp.float32)
+        hit_j = (hit_obj == jf)
+        if ok is not None:  # mask out-of-range cull slots (they re-read index 0)
+            hit_j = hit_j & ok
+        m = hit_j.astype(jnp.float32)
         ar += m * sph[4, j]
         ag += m * sph[5, j]
         ab += m * sph[6, j]
@@ -151,8 +208,8 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
         qy += m * sph[1, j]
         qz += m * sph[2, j]
         return ar, ag, ab, qx, qy, qz
-    ar, ag, ab, qx, qy, qz = _fold_spheres(
-        ns, _attr_body, (ar, ag, ab, qx, qy, qz))
+    ar, ag, ab, qx, qy, qz = _fold_spheres_culled(
+        ns, _attr_body, (ar, ag, ab, qx, qy, qz), cull)
     for j in range(npl):
         m = (hit_obj == ns + j).astype(jnp.float32)
         ar += m * pln[6, j]
@@ -294,14 +351,15 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
 
 
 def _bwd_trace(params, sph, ns, pln, npl, lts, nl, res, gbar, obar_next,
-               dbar_next, acc, acc_sph, *, compat):
+               dbar_next, acc, acc_sph, *, compat, cull=None):
     """Reverse sweep of one trace.
 
     ``gbar``: (gr, gg, gb) cotangent on this trace's rgb output.
     ``obar_next``/``dbar_next``: cotangents on the next-bounce origin and
     direction (zeros for the last trace). ``acc(slot, vec)`` accumulates the
     lane-sum of ``vec`` into flat-grad ``slot``. Returns (obar, dbar) for the
-    previous bounce.
+    previous bounce. ``cull`` (primary trace only) restricts the sphere adjoint
+    fold to the tile's visible list — exact, see :func:`_fold_spheres_culled`.
     """
     amb = params[_P_AMB]
     lamb = params[_P_LAMB]
@@ -425,10 +483,13 @@ def _bwd_trace(params, sph, ns, pln, npl, lts, nl, res, gbar, obar_next,
     od = ox * dx + oy * dy + oz * dz
     oo = ox * ox + oy * oy + oz * oz
 
-    def _sph_bwd(j, carry):
+    def _sph_bwd(j, carry, ok=None):
         obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z = carry
         jf = jnp.float32(j) if isinstance(j, int) else j.astype(jnp.float32)
-        m = ((hit_obj == jf) & res["alive"]).astype(jnp.float32)
+        hit_j = (hit_obj == jf) & res["alive"]
+        if ok is not None:  # mask out-of-range cull slots (they re-read index 0)
+            hit_j = hit_j & ok
+        m = hit_j.astype(jnp.float32)
         mt = m * tbar
         cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
         b = 2.0 * (od - (cx * dx + cy * dy + cz * dz))
@@ -470,8 +531,8 @@ def _bwd_trace(params, sph, ns, pln, npl, lts, nl, res, gbar, obar_next,
         acc_sph(j, 6, m * abar[2])
         return obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z
 
-    obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z = _fold_spheres(
-        ns, _sph_bwd, (obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z))
+    obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z = _fold_spheres_culled(
+        ns, _sph_bwd, (obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z), cull)
     for j in range(npl):
         m = ((hit_obj == ns + j) & res["alive"]).astype(jnp.float32)
         mt = m * tbar
@@ -539,7 +600,7 @@ def grad_layout(ns, npl, nl):
 
 def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                      swap_xy=False, aliasing=False, aa_share=False,
-                     cheap_shadow=True):
+                     cheap_shadow=True, culled=False, vis_k=0):
     # W, H: full-image extent (AA border semantics are global). U, V: the
     # local swap-resolved grid extent — W of this shard's slice, not the
     # image, when rendering a vertical slice (ray-DP sharding).
@@ -548,10 +609,17 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
     slots, n_grads = grad_layout(ns, npl, nl)
     per_sample = aliasing and not aa_share
 
-    def kernel(params, sph, pln, lts, g_ref, out_ref):
+    def kernel(params, sph, pln, lts, *rest):
+        rest = list(rest)
+        vis_cnt = (rest.pop(0), rest.pop(0)) if culled else None
+        g_ref, out_ref = rest
         i = pl.program_id(0)
         j = pl.program_id(1)
         smp = pl.program_id(2) if per_sample else 0
+        # Level-0 cone cull (same table semantics as the forward kernel):
+        # applied to the primary trace's closest-hit/attr/adjoint folds only.
+        cull = (vis_cnt[0], vis_cnt[1], i * pl.num_programs(1) + j, vis_k) \
+            if culled else None
 
         first = (i == 0) & (j == 0)
         if per_sample:
@@ -626,7 +694,8 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
             for bounce in range(depth + 1):
                 rgb, o_next, d_next, alive, res = _fwd_trace_res(
                     params, sph, ns, pln, npl, lts, nl, o_cur, d_cur,
-                    compat=compat, shape=shp, cheap_shadow=cheap_shadow)
+                    compat=compat, shape=shp, cheap_shadow=cheap_shadow,
+                    cull=cull if bounce == 0 else None)
                 traces.append(dict(rgb=rgb, res=res, weight=weight,
                                    aliveprod=aliveprod, bounce=bounce))
                 aliveprod = aliveprod * res["alive_f"]
@@ -651,7 +720,8 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                 gbar = (w * gr_img, w * gg_img, w * gb_img)
                 obar, dbar = _bwd_trace(params, sph, ns, pln, npl, lts, nl,
                                         tr["res"], gbar, obar, dbar, acc,
-                                        acc_sph, compat=compat)
+                                        acc_sph, compat=compat,
+                                        cull=cull if tr["bounce"] == 0 else None)
             # --- camera adjoints from the primary trace's (obar, dbar) --------
             # position: origin is broadcast, so its cotangent is the lane sum.
             acc(("cam_pos", 0), obar[0])
@@ -770,7 +840,7 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                        tile_h: int = 128,
                        interpret: bool = False, return_camera: bool = False,
                        aliasing: bool = False, aa_share: bool | None = None,
-                       cheap_shadow: bool | None = None,
+                       cheap_shadow: bool | None = None, cull: bool = True,
                        x_offset=0.0, local_width: int | None = None):
     """Fused backward (see _scene_grads_pallas). This un-jitted wrapper
     resolves the sqrt-free shadow-sweep guard while the scene is concrete and
@@ -789,21 +859,21 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                                compat=compat, tile_w=tile_w, tile_h=tile_h,
                                interpret=interpret, return_camera=return_camera,
                                aliasing=aliasing, aa_share=aa_share,
-                               cheap_shadow=cheap_shadow, x_offset=x_offset,
-                               local_width=local_width)
+                               cheap_shadow=cheap_shadow, cull=cull,
+                               x_offset=x_offset, local_width=local_width)
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "compat", "tile_w",
                                              "tile_h", "interpret",
                                              "return_camera", "aliasing",
                                              "aa_share", "cheap_shadow",
-                                             "local_width"))
+                                             "cull", "local_width"))
 def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                         compat: bool = True, tile_w: int = 40, tile_h: int = 128,
                         interpret: bool = False, return_camera: bool = False,
                         aliasing: bool = False, aa_share: bool = False,
-                        cheap_shadow: bool = True, x_offset=0.0,
-                        local_width: int | None = None):
+                        cheap_shadow: bool = True, cull: bool = True,
+                        x_offset=0.0, local_width: int | None = None):
     """Fused backward: cotangent image ``(w, h, 3)`` -> scene-gradient pytree.
 
     Matches ``jax.vjp`` of the jnp path. With ``return_camera=True`` also
@@ -840,30 +910,46 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     V = W_out if swap_xy else H
     TW = min(tile_w, U)
     TH = tile_h
+    n_u, n_v = pl.cdiv(U, TW), pl.cdiv(V, TH)
+    # Level-0 cone cull: same conservative per-tile visibility table as the
+    # forward kernel (recomputed here — the backward's tile geometry differs).
+    vis_k = _cull_capacity(ns, n_u * n_v)
+    culled = cull and ns > _UNROLL_LIMIT and n_u * n_v * vis_k <= _CULL_BUDGET
     kernel, n_grads = _make_bwd_kernel(W=W, H=H, U=U, V=V, TW=TW, TH=TH,
                                        depth=depth,
                                        ns=ns, npl=npl, nl=nl, compat=compat,
                                        swap_xy=swap_xy, aliasing=aliasing,
                                        aa_share=aa_share,
-                                       cheap_shadow=cheap_shadow)
+                                       cheap_shadow=cheap_shadow,
+                                       culled=culled, vis_k=vis_k)
     g_chw = jnp.moveaxis(g_image.astype(jnp.float32), -1, 0)  # (3, W, H)
     if swap_xy:
         g_chw = jnp.transpose(g_chw, (0, 2, 1))               # (3, H, W)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     if aliasing and not aa_share:
-        grid = (pl.cdiv(U, TW), pl.cdiv(V, TH), len(AA_OFFSETS))
+        grid = (n_u, n_v, len(AA_OFFSETS))
         g_spec = pl.BlockSpec((3, TW, TH), lambda i, j, s2: (0, i, j))
     else:
-        grid = (pl.cdiv(U, TW), pl.cdiv(V, TH))
+        grid = (n_u, n_v)
         g_spec = pl.BlockSpec((3, TW, TH), lambda i, j: (0, i, j))
+    in_specs = [smem(), smem(), smem(), smem()]
+    args = [params, sph, pln, lts]
+    if culled:
+        vis_idx, vis_cnt = _tile_visibility(
+            camera, scene, n_u=n_u, n_v=n_v, TW=TW, TH=TH, swap_xy=swap_xy,
+            x_offset=x_offset, compat=compat, K=vis_k)
+        in_specs += [smem(), smem()]
+        args += [vis_idx, vis_cnt]
+    in_specs.append(g_spec)
+    args.append(g_chw)
     flat = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem(), smem(), smem(), smem(), g_spec],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n_grads,), jnp.float32),
         interpret=interpret,
-    )(params, sph, pln, lts, g_chw)
+    )(*args)
 
     sph_g = flat[:7 * ns].reshape(ns, 7) if ns else jnp.zeros((0, 7))
     off = 7 * ns

@@ -320,3 +320,159 @@ def test_bwd_small_scene_parity_and_slices():
                        jax.tree_util.tree_leaves(hi)):
         np.testing.assert_allclose(np.asarray(b) + np.asarray(c),
                                    np.asarray(a), rtol=1e-4, atol=1e-7)
+
+
+# --- level-0 cone cull in the fused backward ---------------------------------
+#
+# The cull's invariant is *mathematical* bit-exactness of the fold (a culled
+# sphere misses every primary ray of the tile, so every masked adjoint it
+# would add is identically zero — including on the shared-AA pad rows, whose
+# wild rays CAN hit culled spheres but carry zero cotangent). Whole-kernel
+# cull-vs-nocull comparisons are tolerance-only: the two program variants
+# compile with different fusion/reduction association — measured at ~1 ULP on
+# camera/light slot totals with every per-chain value bit-identical.
+
+def _cull_fold_case(n_spheres, cam_pos, K=None):
+    """Run _fwd_trace_res + _bwd_trace culled vs full on a wide ray grid that
+    includes shared-AA-style pad rows; return both (residuals, acc slots,
+    carries) for comparison."""
+    import python_ray_tracer_tpu.ops.pallas.render_bwd as rb
+    import python_ray_tracer_tpu.ops.pallas.render_pallas as rp
+    scene = rt.random_scene(jax.random.key(3), n_spheres=n_spheres)
+    cam = rt.Camera.build((8, 8), cam_pos, [0, -20, 0])
+    compat = True
+    ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
+    params = rp._pack_params(cam, scene, compat, 0.0)
+    sph = jnp.concatenate([scene.spheres.center.T.astype(jnp.float32),
+                           scene.spheres.radius[None].astype(jnp.float32),
+                           scene.spheres.albedo.T.astype(jnp.float32)], axis=0)
+    pln = jnp.concatenate([scene.planes.origin.T.astype(jnp.float32),
+                           scene.planes.normal.T.astype(jnp.float32),
+                           scene.planes.albedo.T.astype(jnp.float32)], axis=0)
+    lts = scene.lights.position.T.astype(jnp.float32)
+    TW, TH = 8, 16
+    shape_w = (TW + 8, TH)   # shared-AA wide chain: rows > TW are pad rays
+    vis_k = K if K is not None else rp._cull_capacity(ns, 1)
+    vis_idx, vis_cnt = rp._tile_visibility(
+        cam, scene, n_u=1, n_v=1, TW=TW, TH=TH, swap_xy=False, x_offset=0.0,
+        compat=compat, K=vis_k)
+    cull = (vis_idx, vis_cnt, jnp.int32(0), vis_k)
+    suw = (-0.5 + jax.lax.broadcasted_iota(jnp.int32, shape_w, 0)
+           .astype(jnp.float32))
+    svw = jax.lax.broadcasted_iota(jnp.int32, shape_w, 1).astype(jnp.float32)
+    pcx = params[rp._P_FOCAL]
+    pcy = params[rp._P_Y0] + suw * params[rp._P_DY]
+    pcz = params[rp._P_Z0] + svw * params[rp._P_DZ]
+    R = params
+    dx = R[rp._P_ROT+0]*pcx + R[rp._P_ROT+1]*pcy + R[rp._P_ROT+2]*pcz
+    dy = R[rp._P_ROT+3]*pcx + R[rp._P_ROT+4]*pcy + R[rp._P_ROT+5]*pcz
+    dz = R[rp._P_ROT+6]*pcx + R[rp._P_ROT+7]*pcy + R[rp._P_ROT+8]*pcz
+    dn = rp._rnorm(dx, dy, dz)
+    d0 = (dx*dn, dy*dn, dz*dn)
+    o0 = tuple(jnp.full(shape_w, params[rp._P_ORIGIN+i], jnp.float32)
+               for i in range(3))
+    g = jax.random.normal(jax.random.key(0), (3,) + shape_w, jnp.float32)
+    used = (jax.lax.broadcasted_iota(jnp.int32, shape_w, 0) <= TW)
+    g = jnp.where(used[None], g, 0.0)   # pad rows carry zero cotangent
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("cull_on",))
+    def run(cull_on):
+        cu = cull if cull_on else None
+        rgb, o_next, d_next, alive, res = rb._fwd_trace_res(
+            params, sph, ns, pln, npl, lts, nl, o0, d0,
+            compat=compat, shape=shape_w, cheap_shadow=True, cull=cu)
+        accd = {}
+        def acc(slot, vec):   # stringify: jit output dicts need sortable keys
+            accd[str(slot)] = accd.get(str(slot), 0.0) + vec
+        def acc_sph(j, c, vec):   # ref stores in the kernel; masked zeros for
+            pass                  # invisible spheres via the same m/mt factors
+        zero3 = (jnp.zeros(shape_w, jnp.float32),)*3
+        obar, dbar = rb._bwd_trace(params, sph, ns, pln, npl, lts, nl, res,
+                                   (g[0], g[1], g[2]), zero3, zero3, acc,
+                                   acc_sph, compat=compat, cull=cu)
+        return rgb, res["t"], res["hit_obj"], accd, obar, dbar
+    return run(cull_on=True), run(cull_on=False), np.asarray(vis_cnt)
+
+
+def test_bwd_cull_fold_bitexact_jnp():
+    """Culled vs full fold, same jit: residuals on used rows, every non-sphere
+    accumulator slot, and the (obar, dbar) carries must be BIT-identical.
+    (Pad-row residuals legitimately differ — their rays may hit culled
+    spheres — but contribute exact zeros through the zero cotangent.)"""
+    (rgbC, tC, hC, accC, oC, dC), (rgbN, tN, hN, accN, oN, dN), cnt = \
+        _cull_fold_case(18, [-6, 0, 3])
+    assert 0 < int(cnt[0]) < 18   # non-vacuous: the tile culls something
+    used = slice(0, 9)            # rows 0..TW inclusive
+    for a, b in zip(rgbC, rgbN):
+        np.testing.assert_array_equal(np.asarray(a)[used], np.asarray(b)[used])
+    np.testing.assert_array_equal(np.asarray(tC)[used], np.asarray(tN)[used])
+    np.testing.assert_array_equal(np.asarray(hC)[used], np.asarray(hN)[used])
+    assert set(accC) == set(accN)
+    for k in accC:   # full arrays incl. pad rows: adjoints are cotangent-rooted
+        np.testing.assert_array_equal(np.asarray(accC[k]), np.asarray(accN[k]),
+                                      err_msg=str(k))
+    for a, b in zip(oC + dC, oN + dN):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bwd_cull_fold_overflow_sentinel_jnp():
+    """K smaller than the visible count: the tile takes the -1 sentinel and the
+    culled fold must fall back to a bit-identical full identity sweep."""
+    (rgbC, tC, hC, accC, oC, dC), (rgbN, tN, hN, accN, oN, dN), cnt = \
+        _cull_fold_case(18, [-60, 0, 3], K=4)
+    assert int(cnt[0]) == -1
+    for a, b in zip(rgbC + oC + dC, rgbN + oN + dN):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(tC), np.asarray(tN))
+    for k in accC:
+        np.testing.assert_array_equal(np.asarray(accC[k]), np.asarray(accN[k]),
+                                      err_msg=str(k))
+
+
+def test_bwd_cull_small_scene_kernel():
+    """Fast-suite integration coverage of the culled kernel path (rolled folds
+    + compact SMEM lists), activated on a small scene by lowering the unroll
+    limit. Kernel-level cull-vs-nocull is allclose-only (see block comment)."""
+    import python_ray_tracer_tpu.ops.pallas.render_bwd as rb
+    scene = rt.random_scene(jax.random.key(5), n_spheres=6)
+    cam = rt.Camera.build((12, 12), [-6, 0, 3], [0, -20, 0])
+    img = rt.render_image(cam, scene, depth=1, aliasing=False, compat=True)
+    g_img = img * 1e-2 + 1e-4
+    saved = rb._UNROLL_LIMIT
+    try:
+        rb._UNROLL_LIMIT = 4
+        rb._scene_grads_pallas.clear_cache()
+        kw = dict(depth=1, compat=True, tile_w=8, tile_h=16, interpret=True,
+                  return_camera=True)
+        gC = rb.scene_grads_pallas(cam, scene, g_img, cull=True, **kw)
+        gN = rb.scene_grads_pallas(cam, scene, g_img, cull=False, **kw)
+    finally:
+        rb._UNROLL_LIMIT = saved
+        rb._scene_grads_pallas.clear_cache()
+    for a, b in zip(jax.tree_util.tree_leaves(gC),
+                    jax.tree_util.tree_leaves(gN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("aliasing,aa_share", [(False, False), (True, False),
+                                               (True, True)])
+def test_bwd_cull_matches_nocull_kernel(aliasing, aa_share):
+    """Rolled 18-sphere kernel: culled vs full gradients in every cotangent
+    layout (no-AA, per-sample AA, shared-AA), ULP-class tolerance."""
+    import python_ray_tracer_tpu.ops.pallas.render_bwd as rb
+    scene = rt.random_scene(jax.random.key(3), n_spheres=18)
+    cam = rt.Camera.build((12, 12), [-6, 0, 3], [0, -20, 0])
+    img = rt.render_image(cam, scene, depth=1, aliasing=aliasing, compat=True)
+    g_img = img * 1e-2 + 1e-4
+    kw = dict(depth=1, compat=True, tile_w=8, tile_h=16, interpret=True,
+              aliasing=aliasing, aa_share=aa_share, return_camera=True)
+    gC = rb.scene_grads_pallas(cam, scene, g_img, cull=True, **kw)
+    gN = rb.scene_grads_pallas(cam, scene, g_img, cull=False, **kw)
+    for a, b in zip(jax.tree_util.tree_leaves(gC),
+                    jax.tree_util.tree_leaves(gN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
