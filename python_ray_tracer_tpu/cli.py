@@ -226,6 +226,7 @@ def main(argv=None) -> int:
     _add_render_args(pr)
     pf = sub.add_parser("fit", help="inverse-render demo (fit perturbed scene back)")
     _add_render_args(pf)
+    pf.set_defaults(out="output/fit.png")  # don't clobber render's default PNG
     pf.add_argument("--steps", type=int, default=150)
     pf.add_argument("--lr", type=float, default=1e-2)
     pf.add_argument("--mode", choices=["soft", "hard", "camera"], default="soft")

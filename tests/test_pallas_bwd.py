@@ -431,10 +431,13 @@ def test_bwd_cull_fold_overflow_sentinel_jnp():
                                       err_msg=str(k))
 
 
+@pytest.mark.slow
 def test_bwd_cull_small_scene_kernel():
-    """Fast-suite integration coverage of the culled kernel path (rolled folds
-    + compact SMEM lists), activated on a small scene by lowering the unroll
-    limit. Kernel-level cull-vs-nocull is allclose-only (see block comment)."""
+    """Integration coverage of the culled kernel path (rolled folds + compact
+    SMEM lists), activated on a small scene by lowering the unroll limit.
+    Kernel-level cull-vs-nocull is allclose-only (see block comment). Slow:
+    traces two kernel variants (~68 s interpret); the fast suite keeps the
+    jnp-level bit-exactness pair, which exercises the same fold code."""
     import python_ray_tracer_tpu.ops.pallas.render_bwd as rb
     scene = rt.random_scene(jax.random.key(5), n_spheres=6)
     cam = rt.Camera.build((12, 12), [-6, 0, 3], [0, -20, 0])
