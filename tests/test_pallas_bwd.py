@@ -479,3 +479,52 @@ def test_bwd_cull_matches_nocull_kernel(aliasing, aa_share):
                     jax.tree_util.tree_leaves(gN)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_cull_table_slice_offset_bitexact():
+    """Ray-DP slices: a shard's visibility table built with ``x_offset`` must
+    BIT-equal the corresponding tile rows of the full-image table — the cone
+    geometry depends only on a tile's global pixel rectangle, never on which
+    shard computes it. This is the table half of the sharded-cull invariant;
+    the fold half is test_bwd_cull_fold_bitexact_jnp."""
+    import python_ray_tracer_tpu.ops.pallas.render_pallas as rp
+    scene = rt.random_scene(jax.random.key(3), n_spheres=18)
+    cam = rt.Camera.build((32, 16), [-6, 0, 3], [0, -20, 0])
+    TW, TH, K = 8, 16, 8
+    kw = dict(TW=TW, TH=TH, swap_xy=False, compat=True, K=K)
+    idx_full, cnt_full = rp._tile_visibility(cam, scene, n_u=4, n_v=1,
+                                             x_offset=0.0, **kw)
+    idx_hi, cnt_hi = rp._tile_visibility(cam, scene, n_u=2, n_v=1,
+                                         x_offset=16.0, **kw)
+    assert int(jnp.sum(cnt_full >= 0)) > 0   # non-vacuous
+    np.testing.assert_array_equal(np.asarray(cnt_hi), np.asarray(cnt_full)[2:])
+    np.testing.assert_array_equal(np.asarray(idx_hi),
+                                  np.asarray(idx_full)[2 * K:])
+
+
+@pytest.mark.slow
+def test_bwd_cull_sharded_slices_sum():
+    """Dense-scene (rolled + culled) backward over two vertical slices: the
+    slice gradients must sum to the full-image CULL-OFF gradients — covers the
+    x_offset/local_width + cull interaction the small-scene slice test (cull
+    bypassed) and the dryrun (tiny scene) cannot see."""
+    import python_ray_tracer_tpu.ops.pallas.render_bwd as rb
+    scene = rt.random_scene(jax.random.key(3), n_spheres=18)
+    cam = rt.Camera.build((32, 16), [-6, 0, 3], [0, -20, 0])
+    img = rt.render_image(cam, scene, depth=1, aliasing=False, compat=True)
+    g_img = img * 1e-2 + 1e-4
+    kw = dict(depth=1, compat=True, tile_w=8, tile_h=16, interpret=True,
+              return_camera=True)
+    full = rb.scene_grads_pallas(cam, scene, g_img, cull=False, **kw)
+    lo = rb.scene_grads_pallas(cam, scene, g_img[:16], cull=True,
+                               x_offset=0.0, local_width=16, **kw)
+    hi = rb.scene_grads_pallas(cam, scene, g_img[16:], cull=True,
+                               x_offset=16.0, local_width=16, **kw)
+    for a, b, c in zip(jax.tree_util.tree_leaves(full),
+                       jax.tree_util.tree_leaves(lo),
+                       jax.tree_util.tree_leaves(hi)):
+        # atol 1e-6, not 1e-7: comparing cull-ON slices against the CULL-OFF
+        # full image stacks slice-splitting on top of the cull's program-
+        # variant reassociation (~1 ULP on near-zero slots, see block comment).
+        np.testing.assert_allclose(np.asarray(b) + np.asarray(c),
+                                   np.asarray(a), rtol=1e-4, atol=1e-6)
