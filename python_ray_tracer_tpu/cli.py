@@ -107,6 +107,13 @@ def cmd_render(args) -> int:
     return 0
 
 
+def _loss_span(losses) -> str:
+    """first -> last loss for the fit summary; tolerates --steps 0."""
+    if not losses:
+        return "(0 steps)"
+    return f"{losses[0]:.3e} -> {losses[-1]:.3e}"
+
+
 def cmd_fit(args) -> int:
     """Inverse-render demo (BASELINE configs[3]): perturb sphere positions in the
     demo scene, recover them by pixel-gradient descent.
@@ -139,15 +146,19 @@ def cmd_fit(args) -> int:
         init_cam = Camera.build(cam.resolution,
                                 np.asarray(cam.position) + [0.1, -0.08, 0.08],
                                 [1.5, -27.5, 2.0], float(cam.fov))
+        if cfg.backend != "jnp":
+            print(f"note: --mode camera optimizes through the jnp autodiff "
+                  f"path; --backend {cfg.backend} is ignored here")
         logger = MetricsLogger("fit")
         fitted, losses = train.fit_camera(init_cam, scene, target,
-                                          steps=args.steps, depth=cfg.depth,
+                                          steps=args.steps, lr=args.lr,
+                                          depth=cfg.depth,
                                           compat=cfg.compat, logger=logger)
         p0 = float(np.abs(np.asarray(init_cam.position) -
                           np.asarray(cam.position)).max())
         p1 = float(np.abs(np.asarray(fitted.position) -
                           np.asarray(cam.position)).max())
-        print(f"loss: {losses[0]:.3e} -> {losses[-1]:.3e}  "
+        print(f"loss: {_loss_span(losses)}  "
               f"camera pos err: {p0:.3f} -> {p1:.4f}")
         if args.out:
             os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
@@ -175,7 +186,7 @@ def cmd_fit(args) -> int:
     errs = _np.linalg.norm(_np.asarray(fitted.spheres.center -
                                        scene.spheres.center), axis=1)
     err0 = float(jnp.abs(init.spheres.center - scene.spheres.center).max())
-    print(f"loss: {losses[0]:.3e} -> {losses[-1]:.3e}  "
+    print(f"loss: {_loss_span(losses)}  "
           f"center err: {err0:.3f} -> median {float(_np.median(errs)):.4f} "
           f"/ max {errs.max():.4f}")
     if args.out:

@@ -193,7 +193,15 @@ def _run_mp_workers(extra_args=(), timeout=240):
         [sys.executable, worker, str(i), str(port), *extra_args],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for i in (0, 1)]
-    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    finally:
+        # a rendezvous deadlock must not orphan workers (they'd pin 2 of the
+        # host's 4 cores and hold the coordinator port for the whole session)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0 and f"MP_OK {i}" in out, (i, out[-2000:])
 
