@@ -43,4 +43,7 @@ step large_scene 1600 python benchmarks/large_scene.py --quick
 # 4. backward cone cull on a dense scene (new in this round)
 step bwd_cull 1600 python benchmarks/bwd_cull.py --quick
 
+# 5. empirical VPU speed-of-light comparator (headroom accounting)
+step vpu_sol 1600 python benchmarks/vpu_sol.py --quick
+
 echo "=== queue done; logs in $OUT ==="
