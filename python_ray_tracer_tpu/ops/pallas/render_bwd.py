@@ -47,7 +47,8 @@ from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
                             AA_OFFSETS, _pack_params, _UNROLL_LIMIT, FAR, BIAS,
                             BIG, _rnorm, _fold_objects, _sphere_occ_cheap,
                             _shadow_cheap_ok, _resolve_swap, _tile_visibility,
-                            _cull_capacity, _CULL_BUDGET, _CHUNK)
+                            _cull_capacity, _culled_sphere_fold, _CULL_BUDGET,
+                            _CHUNK)
 
 _DEN_EPS = 1e-6   # grazing-hit clamp for implicit-function t adjoints
 
@@ -98,32 +99,14 @@ def _fold_spheres_culled(ns, body, carry, cull):
     sweeps must stay full (reflected origins/directions scatter out of the
     cone), as must shadow-occlusion folds (shadow rays start at hit points).
 
-    Mirrors ``render_pallas._closest_hit``'s culled sweep: chunk-unrolled
-    ``fori_loop`` with an in-range guard ``ok`` (out-of-range slots re-read a
-    real index and must be masked by the body), sentinel count -1 = the tile
-    overflowed its K slots -> identity full sweep.
+    The sweep itself is ``render_pallas._culled_sphere_fold`` — the SAME code
+    object the forward closest-hit uses (sentinel count -1 -> identity full
+    sweep, in-range guard ``ok`` that the body must honor), so forward and
+    backward sweep semantics cannot drift apart.
     """
     if cull is None:
         return _fold_spheres(ns, lambda j, c: body(j, c, None), carry)
-    vis_ref, cnt_ref, tile_id, K = cull
-    raw = cnt_ref[tile_id]
-    full = raw < 0
-    count = jnp.where(full, ns, raw)
-    base_idx = tile_id * K
-
-    def cull_chunk(k, carry):
-        base = k * _CHUNK
-        for q in range(_CHUNK):
-            jj = base + q
-            ok = jj < count
-            jj_safe = jnp.where(ok, jj, 0)
-            j = jnp.where(full, jj_safe,
-                          vis_ref[base_idx + jnp.minimum(jj_safe, K - 1)])
-            carry = body(j, carry, ok)
-        return carry
-
-    return jax.lax.fori_loop(0, (count + _CHUNK - 1) // _CHUNK,
-                             cull_chunk, carry)
+    return _culled_sphere_fold(ns, body, carry, cull)
 
 
 def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,

@@ -125,6 +125,46 @@ def _fold_objects_early_exit(n, body, carry, done):
     return carry
 
 
+def _culled_sphere_fold(ns, body, carry, cull):
+    """Fold ``body(j, carry, ok) -> carry`` over this tile's compact
+    visible-sphere list (conservative cone cull — see :func:`_tile_visibility`).
+
+    The ONE copy of the sentinel/count-clamp/index-guard semantics shared by
+    the forward closest-hit (:func:`_closest_hit`) and the backward kernel's
+    primary-trace folds (``render_bwd._fold_spheres_culled``) — the backward's
+    exactness argument relies on sweeping exactly the spheres the forward
+    swept, so the logic must live once. Semantics:
+
+    - ``cull = (vis_ref, cnt_ref, tile_id, K)``; the flat list is indexed
+      ``tile_id * K + slot`` (SMEM tables must be 1-D, see
+      :func:`_tile_visibility`).
+    - Sentinel count ``-1`` = the tile overflowed its K slots: sweep all
+      ``ns`` spheres by identity index, so the cull is conservative at any K.
+    - Chunk-unrolled ``fori_loop`` with an in-range guard ``ok`` instead of a
+      static tail (the count is traced); out-of-range slots re-read a real
+      index and MUST be masked by the body via ``ok``.
+    """
+    vis_ref, cnt_ref, tile_id, K = cull
+    raw = cnt_ref[tile_id]
+    full = raw < 0
+    count = jnp.where(full, ns, raw)
+    base_idx = tile_id * K
+
+    def cull_chunk(k, carry):
+        base = k * _CHUNK
+        for q in range(_CHUNK):
+            jj = base + q
+            ok = jj < count
+            jj_safe = jnp.where(ok, jj, 0)
+            j = jnp.where(full, jj_safe,
+                          vis_ref[base_idx + jnp.minimum(jj_safe, K - 1)])
+            carry = body(j, carry, ok)
+        return carry
+
+    return jax.lax.fori_loop(0, (count + _CHUNK - 1) // _CHUNK,
+                             cull_chunk, carry)
+
+
 def _tile_visibility(camera, scene, *, n_u, n_v, TW, TH, swap_xy, x_offset,
                      compat, K=None):
     """Conservative per-tile sphere visibility for the PRIMARY closest-hit sweep.
@@ -264,32 +304,11 @@ def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape,
 
     state = (t, ar, ag, ab, qx, qy, qz, is_pl)
     if cull is not None and ns > _UNROLL_LIMIT:
-        # Primary sweep over this tile's visible-sphere index list only
-        # (conservative cone cull — see _tile_visibility). Chunk-unrolled with
-        # an in-range guard instead of a static tail (the count is traced).
-        # Sentinel count -1 = the tile's list overflowed its K slots: sweep all
-        # ns spheres by identity index so the cull is conservative at any K.
-        # The flat list is indexed tile_id*K + slot (see _tile_visibility on
-        # why SMEM tables must be 1-D).
-        vis_ref, cnt_ref, tile_id, K = cull
-        raw = cnt_ref[tile_id]
-        full = raw < 0
-        count = jnp.where(full, ns, raw)
-        base_idx = tile_id * K
-
-        def cull_chunk(k, state):
-            base = k * _CHUNK
-            for q in range(_CHUNK):
-                jj = base + q
-                ok = jj < count
-                jj_safe = jnp.where(ok, jj, 0)
-                j = jnp.where(full, jj_safe,
-                              vis_ref[base_idx + jnp.minimum(jj_safe, K - 1)])
-                state = one_s(j, state, extra_valid=ok)
-            return state
-
-        state = jax.lax.fori_loop(0, (count + _CHUNK - 1) // _CHUNK,
-                                  cull_chunk, state)
+        # Primary sweep over this tile's visible-sphere index list only —
+        # sentinel/count-clamp/index-guard semantics live in the shared
+        # _culled_sphere_fold (one copy for forward + backward).
+        state = _culled_sphere_fold(
+            ns, lambda j, s, ok: one_s(j, s, extra_valid=ok), state, cull)
     else:
         state = _fold_objects(ns, one_s, state)
     state = _fold_objects(npl, one_p, state)
