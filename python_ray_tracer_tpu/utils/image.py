@@ -25,8 +25,20 @@ def framebuffer_to_array(fb: np.ndarray) -> np.ndarray:
 
 
 def save_png(fb: np.ndarray, path: str) -> None:
-    """Save a uint8 ``(3, w, h)`` framebuffer as a PNG (reference main.py:51-53)."""
+    """Save a uint8 ``(3, w, h)`` framebuffer as a PNG (reference main.py:51-53).
+
+    Encoding goes through the native C++ encoder (native/png_writer.cpp via
+    utils/native.py) when available — the framework's save path then has no
+    Pillow dependency, unlike the reference (requirements.txt:4). PIL is the
+    fallback; pixel-exact equivalence of the two routes is pinned by
+    tests/test_native_png.py.
+    """
+    arr = framebuffer_to_array(fb).astype(np.uint8)
+    from . import native
+
+    if native.available():
+        native.write_png(path, arr)
+        return
     from PIL import Image
 
-    arr = framebuffer_to_array(fb).astype(np.uint8)
     Image.fromarray(arr, mode="RGB").save(path)
