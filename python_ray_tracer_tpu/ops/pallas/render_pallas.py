@@ -165,6 +165,38 @@ def _culled_sphere_fold(ns, body, carry, cull):
                              cull_chunk, carry)
 
 
+def _culled_sphere_fold_ee(ns, body, carry, cull, done):
+    """:func:`_culled_sphere_fold` + the tile-coherent early exit of
+    :func:`_fold_objects_early_exit` (monotone accumulations only): stop as
+    soon as ``done(carry)`` saturates. Same sentinel/count-clamp/index-guard
+    semantics — the trip count just gains a second exit condition."""
+    vis_ref, cnt_ref, tile_id, K = cull
+    raw = cnt_ref[tile_id]
+    full = raw < 0
+    count = jnp.where(full, ns, raw)
+    base_idx = tile_id * K
+    trips = (count + _CHUNK - 1) // _CHUNK
+
+    def cond(state):
+        k, c = state
+        return (k < trips) & jnp.logical_not(done(c))
+
+    def chunk(state):
+        k, c = state
+        base = k * _CHUNK
+        for q in range(_CHUNK):
+            jj = base + q
+            ok = jj < count
+            jj_safe = jnp.where(ok, jj, 0)
+            j = jnp.where(full, jj_safe,
+                          vis_ref[base_idx + jnp.minimum(jj_safe, K - 1)])
+            c = body(j, c, ok)
+        return k + 1, c
+
+    _, carry = jax.lax.while_loop(cond, chunk, (jnp.int32(0), carry))
+    return carry
+
+
 def _tile_visibility(camera, scene, *, n_u, n_v, TW, TH, swap_xy, x_offset,
                      compat, K=None):
     """Conservative per-tile sphere visibility for the PRIMARY closest-hit sweep.
@@ -459,6 +491,75 @@ def _any_hit_multi(sph, ns, pln, npl, ox, oy, oz, dirs, *, compat, shape,
     return list(occs)
 
 
+def _any_hit_listed(sph, ns, pln, npl, ox, oy, oz, dirs, lists, *, compat,
+                    shape, cheap=True):
+    """Level-0 shadow occlusion over the two-pass per-(tile,light) occluder
+    lists (see :func:`_shadow_visibility_lists`).
+
+    ``lists = (idx_ref, cnt_ref, tile_id, K, nl)``; light ``l``'s compact list
+    lives at flat row ``tile_id * nl + l``. ``sph`` must be the
+    angular-size-SORTED geometry table (``sph_sh``) — the lists index it, so
+    the ``-1`` overflow sentinel's full identity sweep degrades to exactly the
+    sorted sweep :func:`_any_hit_multi` runs, early exit included (count ``0``
+    -> the tile has no live primary hits and the sphere sweep vanishes).
+    Unlike :func:`_any_hit_multi` there is no cross-light origin-term sharing
+    — each light sweeps a different sphere subset — but K is a small fraction
+    of ``ns``, which is the whole point."""
+    idx_ref, cnt_ref, tile_id, K, nl_total = lists
+    occ0 = jnp.zeros(shape, jnp.float32)
+    eps = 1e-3 if compat else 1e-8
+    oo = ox * ox + oy * oy + oz * oz
+
+    # Planes: unrolled with the per-light numerator hoist (same as
+    # _any_hit_multi — plane counts are small by the caller's guard).
+    occs = [occ0 for _ in dirs]
+    for j in range(npl):
+        nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
+        pnum = ((pln[0, j] - ox) * nx + (pln[1, j] - oy) * ny +
+                (pln[2, j] - oz) * nz)
+        for l, (dx, dy, dz) in enumerate(dirs):
+            den = dx * nx + dy * ny + dz * nz
+            den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+            t_j = pnum / den_safe
+            valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
+            if compat:
+                valid &= t_j < FAR
+            occs[l] = jnp.maximum(occs[l], valid.astype(jnp.float32))
+
+    for l, (dx, dy, dz) in enumerate(dirs):
+        a = dx * dx + dy * dy + dz * dz
+        inv2a = 1.0 / (2.0 * a)
+        inv_a = inv2a + inv2a
+        od = ox * dx + oy * dy + oz * dz
+
+        def body(j, occ, ok, dx=dx, dy=dy, dz=dz, a=a, inv2a=inv2a,
+                 inv_a=inv_a, od=od):
+            cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
+            cd = cx * dx + cy * dy + cz * dz
+            oc = cx * ox + cy * oy + cz * oz
+            c = oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
+            if cheap:
+                valid = _sphere_occ_cheap(c, cd - od, a, inv_a, compat)
+            else:
+                b = 2.0 * (od - cd)
+                disc = b * b - 4.0 * a * c
+                has = disc >= 0.0
+                sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+                num_near = -b - sq
+                num_far = -b + sq
+                t_j = jnp.where(num_near > 0.0, num_near, num_far) * inv2a
+                valid = has & (num_far > 0.0)
+                if compat:
+                    valid &= t_j < FAR
+            valid &= ok
+            return jnp.maximum(occ, valid.astype(jnp.float32))
+
+        occs[l] = _culled_sphere_fold_ee(
+            ns, body, occs[l], (idx_ref, cnt_ref, tile_id * nl_total + l, K),
+            done=lambda o: jnp.min(o) > 0.5)
+    return occs
+
+
 def _any_hit_capsule(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, lx, ly, lz,
                      occ_ref, *, compat, shape, cheap=True):
     """Rolled-scene shadow sweep with a runtime swept-region cull per chunk.
@@ -584,17 +685,15 @@ def _any_hit_capsule(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, lx, ly, lz,
     return o
 
 
-def _trace(params, sph, ns, pln, npl, lts, nl,
-           ox, oy, oz, dx, dy, dz, *, compat, shape, cull=None,
-           shadow_scratch=None, cheap_shadow=True, sph_sh=None):
-    """One shading evaluation == reference ``trace`` (trace.py:45-112), tile-wide.
+def _primary_geometry(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat,
+                      shape, cull=None):
+    """Closest hit -> biased hit points + normals + hit albedo.
 
-    Returns ``(r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive)``. ``cull`` (primary
-    traces only) restricts the closest-hit sphere sweep to the tile's
-    cone-visible list; ``shadow_scratch`` (a VMEM ref, rolled scenes) enables
-    the runtime capsule cull for shadow sweeps."""
-    amb = params[_P_AMB]
-    lamb = params[_P_LAMB]
+    Shared verbatim by :func:`_trace` and the two-pass shadow pipeline's hit
+    AABB kernel (:func:`_hit_aabb_pallas`) — the AABB pass must produce the
+    exact same biased hit points the shading pass will originate its level-0
+    shadow rays from, or the per-(tile,light) occluder lists lose their
+    conservative-coverage guarantee."""
     t, ar, ag, ab, qx, qy, qz, is_pl = _closest_hit(
         sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, compat=compat, shape=shape,
         cull=cull)
@@ -608,9 +707,198 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
     nx = jnp.where(plane_hit, qx, sx * sn)
     ny = jnp.where(plane_hit, qy, sy * sn)
     nz = jnp.where(plane_hit, qz, sz * sn)
-
-    r, g, b = amb * ar, amb * ag, amb * ab
     Px, Py, Pz = Px + BIAS * nx, Py + BIAS * ny, Pz + BIAS * nz
+    return alive, Px, Py, Pz, nx, ny, nz, ar, ag, ab
+
+
+def _make_hit_extent_kernel(*, W, H, TW, TH, ns, npl, compat, swap_xy,
+                            chains, culled, vis_k):
+    """Pass 1 of the two-pass shadow pipeline: per-tile alive-hit AABBs.
+
+    For every sample chain the render kernel will evaluate (``chains`` =
+    ``(shape, du, dv, row_lim, col_lim)`` tuples mirroring the shared-AA
+    grids), run the SAME analytic ray-gen + culled closest-hit
+    (:func:`_raygen` / :func:`_primary_geometry` — bit-identical biased hit
+    points) and fold a masked min/max AABB over the lanes whose samples the
+    render pass can actually use: alive (hit within the far clip), inside the
+    global image (``[0, W-1] x [0, H-1]`` covers every consumed sample — edge
+    pixels consume only their center sample, interior AA samples sit at
+    half-offsets strictly inside), and within the chain's shared-row/col
+    limits (pad rows past the +1 halo are discarded by the consumer and may
+    hit cone-culled spheres, so they must not widen the AABB).
+
+    Writes 8 SMEM f32 slots per tile: min xyz, max xyz, used-lane count,
+    pad. Grid steps write disjoint slots (TPU grids are sequential)."""
+    def kernel(params, sph, pln, *rest):
+        rest = list(rest)
+        vis_cnt = (rest.pop(0), rest.pop(0)) if culled else None
+        out_ref = rest[0]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        tile_id = i * pl.num_programs(1) + j
+        cull = (vis_cnt[0], vis_cnt[1], tile_id, vis_k) if culled else None
+        fu = (i * TW).astype(jnp.float32)
+        fv = (j * TH).astype(jnp.float32)
+        if not swap_xy:
+            fu = fu + params[_P_X0]
+        else:
+            fv = fv + params[_P_X0]
+        big = jnp.float32(BIG)
+        mns = [big, big, big]
+        mxs = [-big, -big, -big]
+        tot = jnp.float32(0.0)
+        for (shp, du, dv, row_lim, col_lim) in chains:
+            iu = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+            iv = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+            u = fu + du + iu.astype(jnp.float32)
+            v = fv + dv + iv.astype(jnp.float32)
+            px, py = (u, v) if not swap_xy else (v, u)
+            alive, Px, Py, Pz, _nx, _ny, _nz, _ar, _ag, _ab = \
+                _primary_geometry(sph, ns, pln, npl, *_raygen(params, px, py),
+                                  compat=compat, shape=shp, cull=cull)
+            used = (alive & (px >= 0.0) & (px <= W - 1.0) &
+                    (py >= 0.0) & (py <= H - 1.0))
+            if row_lim is not None:
+                used &= iu <= row_lim
+            if col_lim is not None:
+                used &= iv <= col_lim
+            for c, P in enumerate((Px, Py, Pz)):
+                mns[c] = jnp.minimum(mns[c], jnp.min(jnp.where(used, P, big)))
+                mxs[c] = jnp.maximum(mxs[c], jnp.max(jnp.where(used, P, -big)))
+            tot = tot + jnp.sum(used.astype(jnp.float32))
+        base = tile_id * 8
+        for c in range(3):
+            out_ref[base + c] = mns[c]
+            out_ref[base + 3 + c] = mxs[c]
+        out_ref[base + 6] = tot
+        out_ref[base + 7] = jnp.float32(0.0)
+
+    return kernel
+
+
+def _hit_extents_pallas(params, sph, pln, *, W, H, n_u, n_v, TW, TH, ns, npl,
+                        compat, swap_xy, aliasing, culled, vis_tabs, vis_k,
+                        interpret):
+    """Run the hit-extent pass; returns ``(n_tiles, 8)`` f32 AABB rows."""
+    if aliasing:
+        # Union of all 9 AA sample positions == the 4 shared grids (centers,
+        # both half-axes, corners) — identical for the shared and per-sample
+        # kernels, which sample the same midpoint lattice (kernels.py:43-50).
+        chains = (((TW, TH), 0.0, 0.0, None, None),
+                  ((TW + 8, TH), -0.5, 0.0, TW, None),
+                  ((TW, TH + 1), 0.0, -0.5, None, TH),
+                  ((TW + 8, TH + 1), -0.5, -0.5, TW, TH))
+    else:
+        chains = (((TW, TH), 0.0, 0.0, None, None),)
+    kernel = _make_hit_extent_kernel(W=W, H=H, TW=TW, TH=TH, ns=ns, npl=npl,
+                                     compat=compat, swap_xy=swap_xy,
+                                     chains=chains, culled=culled, vis_k=vis_k)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [smem(), smem(), smem()]
+    args = [params, sph, pln]
+    if culled:
+        in_specs += [smem(), smem()]
+        args += [vis_tabs[0], vis_tabs[1]]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_u, n_v),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_u * n_v * 8,), jnp.float32),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(n_u * n_v, 8)
+
+
+def _shadow_visibility_lists(ext, lights, centers, radii, *, nl, K, compat,
+                             to_sorted=None):
+    """Per-(tile, light) conservative occluder lists from hit-extent AABBs.
+
+    A sphere can occlude some level-0 shadow ray of a tile iff it meets the
+    region swept by rays from points of the tile's hit AABB through the light,
+    extended ``FAR`` beyond it (the reference's any-hit counts occluders at any
+    ``0 < t < FAR`` along the unit ray — beyond the light still shadows,
+    trace.py:92-96). Same capsule + beyond-the-light-cone test as the runtime
+    cull (:func:`_any_hit_capsule`), evaluated host-side over all (tile, light,
+    sphere) triples; tiles with no used hits cull everything (count 0 — sky
+    tiles pay zero sphere sweeps). Overflowing rows get the ``-1`` sentinel
+    (full sweep), so any ``K`` is conservative.
+
+    Within a row, entries are ordered by apparent angular size from that
+    light (``r / |c - L|``, descending) so the consumer's tile-coherent early
+    exit saturates in the fewest chunks; ``to_sorted`` (original index ->
+    position in the sorted ``sph_sh`` table) remaps entries so overflow rows'
+    identity sweeps degrade to the plain sorted sweep.
+
+    Returns flat ``(T*nl*K,)`` index and ``(T*nl,)`` count i32 tables; row
+    ``tile_id * nl + l`` is light ``l``'s list for the tile."""
+    lo, hi = ext[:, 0:3], ext[:, 3:6]                       # (T, 3)
+    has = ext[:, 6] > 0.5                                   # (T,)
+    b = 0.5 * (lo + hi)
+    e = 0.5 * (hi - lo)
+    hdiag = jnp.linalg.norm(e, axis=-1)                     # (T,)
+    s = lights[None, :, :] - b[:, None, :]                  # (T, nl, 3)
+    ss = jnp.maximum(jnp.sum(s * s, axis=-1), 1e-12)        # (T, nl)
+    dlb = jnp.sqrt(ss)
+    cull_ok = dlb > 2.0 * hdiag[:, None]
+    u = s / dlb[..., None]
+    slope = hdiag[:, None] / jnp.maximum(dlb - hdiag[:, None], 1e-6)
+    rmink = jnp.sqrt(1.0 + slope * slope)
+    extent = FAR if compat else 1e9
+
+    w = centers[None, None, :, :] - b[:, None, None, :]     # (T, 1, ns, 3)
+    ws = jnp.sum(w * s[:, :, None, :], axis=-1)             # (T, nl, ns)
+    tt = jnp.clip(ws / ss[:, :, None], 0.0, 1.0)
+    d2 = (jnp.sum(w * w, axis=-1) - 2.0 * tt * ws + tt * tt * ss[:, :, None])
+    reach = radii[None, None, :] + hdiag[:, None, None] + 1e-3
+    near_seg = d2 <= reach * reach
+
+    v = centers[None, None, :, :] - lights[None, :, None, :]  # (1, nl, ns, 3)
+    proj = jnp.sum(v * u[:, :, None, :], axis=-1)             # (T, nl, ns)
+    lat2 = jnp.maximum(jnp.sum(v * v, axis=-1) - proj * proj, 0.0)
+    allow = proj * slope[:, :, None] + (radii[None, None, :] + 1e-3) * \
+        rmink[:, :, None]
+    in_cone = ((proj > -radii[None, None, :]) &
+               (proj < extent + radii[None, None, :]) &
+               (lat2 <= allow * allow) & (allow > 0.0))
+
+    visible = (near_seg | in_cone | ~cull_ok[:, :, None]) & has[:, None, None]
+    T = ext.shape[0]
+    ns = centers.shape[0]
+    # Visible-first, biggest-apparent-occluder-first within each row.
+    ang = radii[None, :] / jnp.maximum(
+        jnp.linalg.norm(centers[None, :, :] - lights[:, None, :], axis=-1),
+        1e-6)                                               # (nl, ns)
+    sortkey = jnp.where(visible, -ang[None, :, :], jnp.float32(BIG))
+    visible = visible.reshape(T * nl, ns)
+    order = jnp.argsort(sortkey.reshape(T * nl, ns), axis=-1).astype(jnp.int32)
+    cnt = jnp.sum(visible, axis=-1, dtype=jnp.int32)
+    if K < ns:
+        order = order[:, :K]
+        cnt = jnp.where(cnt > K, jnp.int32(-1), cnt)
+    if to_sorted is not None:
+        order = to_sorted[order]
+    return order.reshape(-1), cnt
+
+
+def _trace(params, sph, ns, pln, npl, lts, nl,
+           ox, oy, oz, dx, dy, dz, *, compat, shape, cull=None,
+           shadow_scratch=None, cheap_shadow=True, sph_sh=None,
+           sh_lists=None):
+    """One shading evaluation == reference ``trace`` (trace.py:45-112), tile-wide.
+
+    Returns ``(r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive)``. ``cull`` (primary
+    traces only) restricts the closest-hit sphere sweep to the tile's
+    cone-visible list; ``shadow_scratch`` (a VMEM ref, rolled scenes) enables
+    the runtime capsule cull for shadow sweeps; ``sh_lists`` (primary traces
+    only) routes shadow sweeps through the two-pass per-(tile,light) occluder
+    lists (:func:`_any_hit_listed`)."""
+    amb = params[_P_AMB]
+    lamb = params[_P_LAMB]
+    alive, Px, Py, Pz, nx, ny, nz, ar, ag, ab = _primary_geometry(
+        sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, compat=compat, shape=shape,
+        cull=cull)
+    r, g, b = amb * ar, amb * ag, amb * ab
 
     # Mirror reflection dir (hoisted above the light loop: clean-mode Phong
     # evaluates L.R per light; values identical either way).
@@ -630,8 +918,15 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
             lx, ly, lz = lts[0, l] - Px, lts[1, l] - Py, lts[2, l] - Pz
             ln = _rnorm(lx, ly, lz)
             dirs.append((lx * ln, ly * ln, lz * ln))
-        if npl <= _UNROLL_LIMIT and (shadow_scratch is None or
-                                     ns <= _UNROLL_LIMIT):
+        if sh_lists is not None and npl <= _UNROLL_LIMIT:
+            # Two-pass level-0 lists: sweep only this (tile, light)'s compact
+            # occluder list (entries index the SORTED table, so overflow rows
+            # degrade to the plain sorted sweep).
+            occs = _any_hit_listed(ssph, ns, pln, npl, Px, Py, Pz, dirs,
+                                   sh_lists, compat=compat, shape=shape,
+                                   cheap=cheap_shadow)
+        elif npl <= _UNROLL_LIMIT and (shadow_scratch is None or
+                                       ns <= _UNROLL_LIMIT):
             occs = _any_hit_multi(ssph, ns, pln, npl, Px, Py, Pz, dirs,
                                   compat=compat, shape=shape,
                                   cheap=cheap_shadow)
@@ -677,13 +972,10 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
     return r, g, b, Px, Py, Pz, rx, ry, rz, alive
 
 
-def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
-                  shape, cull=None, shadow_scratch=None, cheap_shadow=True,
-                  sph_sh=None, bounce_scratch=None):
-    """Full sample evaluation: fractional pixel coords -> (r, g, b).
-
-    Analytic ray generation + the unrolled bounce chain (value-flow form).
-    ``cull`` applies to the primary trace's sphere sweep only."""
+def _raygen(params, px, py):
+    """Analytic primary-ray generation from fractional pixel coords
+    (reference kernels.py:16-23, camera.py:23-26). Shared by the render
+    kernels and the two-pass hit-AABB kernel (bit-identical rays)."""
     pcx = params[_P_FOCAL]
     pcy = params[_P_Y0] + px * params[_P_DY]
     pcz = params[_P_Z0] + py * params[_P_DZ]
@@ -692,15 +984,23 @@ def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
     dy = R[_P_ROT + 3] * pcx + R[_P_ROT + 4] * pcy + R[_P_ROT + 5] * pcz
     dz = R[_P_ROT + 6] * pcx + R[_P_ROT + 7] * pcy + R[_P_ROT + 8] * pcz
     dn = _rnorm(dx, dy, dz)
-    dx, dy, dz = dx * dn, dy * dn, dz * dn
-    ox = params[_P_ORIGIN + 0]
-    oy = params[_P_ORIGIN + 1]
-    oz = params[_P_ORIGIN + 2]
+    return (params[_P_ORIGIN + 0], params[_P_ORIGIN + 1],
+            params[_P_ORIGIN + 2], dx * dn, dy * dn, dz * dn)
+
+
+def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
+                  shape, cull=None, shadow_scratch=None, cheap_shadow=True,
+                  sph_sh=None, bounce_scratch=None, sh_lists=None):
+    """Full sample evaluation: fractional pixel coords -> (r, g, b).
+
+    Analytic ray generation + the unrolled bounce chain (value-flow form).
+    ``cull`` and ``sh_lists`` apply to the primary trace only."""
+    ox, oy, oz, dx, dy, dz = _raygen(params, px, py)
     refl = params[_P_REFL]
     r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive = _trace(
         params, sph, ns, pln, npl, lts, nl, ox, oy, oz, dx, dy, dz,
         compat=compat, shape=shape, cull=cull, shadow_scratch=shadow_scratch,
-        cheap_shadow=cheap_shadow, sph_sh=sph_sh)
+        cheap_shadow=cheap_shadow, sph_sh=sph_sh, sh_lists=sh_lists)
     if bounce_scratch is not None and depth > 0:
         # Whole-tile bounce predication (same scheme as _make_kernel's no-AA
         # path): dead/sky tiles skip every bounce's intersection + shadow
@@ -749,7 +1049,8 @@ def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
 def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
                            swap_xy=False, culled=False, shadow_cull=False,
                            vis_k=0, cheap_shadow=True, shadow_sort=False,
-                           predicate_bounces=False):
+                           predicate_bounces=False, shadow_listed=False,
+                           sh_k=0):
     """3x3-supersampled kernel with fully shared half-offset samples.
 
     The reference's AA samples are midpoints between adjacent pixel locations
@@ -777,14 +1078,17 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
         rest = list(rest)
         sph_sh = rest.pop(0) if shadow_sort else None
         vis_cnt = (rest.pop(0), rest.pop(0)) if culled else None
+        sh_tabs = (rest.pop(0), rest.pop(0)) if shadow_listed else None
         out_ref = rest.pop(0)
         shadow_ref = rest.pop(0) if shadow_cull else None
         bscratch = (tuple(rest.pop(0) for _ in range(11))
                     if (predicate_bounces and depth > 0) else None)
         i = pl.program_id(0)
         j = pl.program_id(1)
-        cull = (vis_cnt[0], vis_cnt[1], i * pl.num_programs(1) + j, vis_k) \
-            if culled else None
+        tile_id = i * pl.num_programs(1) + j
+        cull = (vis_cnt[0], vis_cnt[1], tile_id, vis_k) if culled else None
+        sh_lists = ((sh_tabs[0], sh_tabs[1], tile_id, sh_k, nl)
+                    if shadow_listed else None)
         # su: sublane-axis pixel coordinate; sv: lane-axis pixel coordinate.
         fu = (i * TW).astype(jnp.float32)
         fv = (j * TH).astype(jnp.float32)
@@ -808,7 +1112,7 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
                                  depth=depth, compat=compat, shape=shp,
                                  cull=cull, shadow_scratch=shadow_ref,
                                  cheap_shadow=cheap_shadow, sph_sh=sph_sh,
-                                 bounce_scratch=bscratch)
+                                 bounce_scratch=bscratch, sh_lists=sh_lists)
 
         C = chain(shape, 0.0, 0.0)
         UH = chain(shape_w, -0.5, 0.0)         # shared sublane-axis halves
@@ -842,20 +1146,24 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
 def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                  predicate_bounces, swap_xy=False, culled=False,
                  shadow_cull=False, vis_k=0, cheap_shadow=True,
-                 shadow_sort=False):
+                 shadow_sort=False, shadow_listed=False, sh_k=0):
     shape = (TW, TH)
 
     def kernel(params, sph, pln, lts, *rest):
         rest = list(rest)
         sph_sh = rest.pop(0) if shadow_sort else None
+        tile_id = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
         if culled:
-            vis, cnt, out_ref, *scratch = rest
-            cull = (vis, cnt,
-                    pl.program_id(0) * pl.num_programs(1) + pl.program_id(1),
-                    vis_k)
+            vis, cnt = rest.pop(0), rest.pop(0)
+            cull = (vis, cnt, tile_id, vis_k)
         else:
-            out_ref, *scratch = rest
             cull = None
+        if shadow_listed:
+            sl_idx, sl_cnt = rest.pop(0), rest.pop(0)
+            sh_lists = (sl_idx, sl_cnt, tile_id, sh_k, nl)
+        else:
+            sh_lists = None
+        out_ref, *scratch = rest
         if shadow_cull:
             shadow_ref, scratch = scratch[-1], scratch[:-1]
         else:
@@ -900,7 +1208,7 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
         r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive = _trace(
             params, sph, ns, pln, npl, lts, nl, ox, oy, oz, dx, dy, dz,
             compat=compat, shape=shape, cull=cull, shadow_scratch=shadow_ref,
-            cheap_shadow=cheap_shadow, sph_sh=sph_sh)
+            cheap_shadow=cheap_shadow, sph_sh=sph_sh, sh_lists=sh_lists)
         if depth > 0 and predicate_bounces:
             # Whole-tile predication via pl.when + VMEM scratch accumulators:
             # sky/fully-dead tiles skip every bounce's intersection+shadow sweeps
@@ -1037,6 +1345,25 @@ def _cull_capacity(ns: int, n_tiles: int) -> int:
     return vis_k
 
 
+_SH_BUDGET = 160_000  # SMEM entries for the per-(tile,light) shadow tables
+# Default for shadow_lists=None. Off until the two-pass pipeline measures a
+# win on chip (the prepass + lists cost a kernel launch; see ROADMAP).
+_SHADOW_LISTS_AUTO = False
+
+
+def _shadow_list_capacity(ns: int, n_rows: int) -> int:
+    """Slots per (tile, light) row for the two-pass shadow occluder lists.
+
+    Same scale-with-density/step-down-under-budget policy as
+    :func:`_cull_capacity` but with a 16-slot floor (shadow rows are ``nl``x
+    more numerous than primary rows, and an overflowed row only costs that
+    row a full sweep)."""
+    k = min(ns, 32 if ns <= 256 else 64 if ns <= 2048 else 128)
+    while k > 16 and n_rows * k > _SH_BUDGET:
+        k //= 2
+    return k
+
+
 def _resolve_swap(w_out: int, h: int) -> bool:
     """Axis layout: True puts image y on sublanes / x on lanes. Picks the
     pairing that pads fewer 128-lane vreg columns (1080p: W=1920 is 15x128
@@ -1089,7 +1416,8 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
                         local_width: int | None = None,
                         aa_share: bool = True, cull: bool = True,
                         shadow_cull: bool = False,
-                        cheap_shadow: bool | None = None) -> jnp.ndarray:
+                        cheap_shadow: bool | None = None,
+                        shadow_lists: bool | None = None) -> jnp.ndarray:
     """Fused-kernel render -> float ``(w, h, 3)`` image, matching
     :func:`..render.render_image` output bit-for-bit up to f32 reassociation.
 
@@ -1100,7 +1428,15 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
 
     ``cheap_shadow`` (default: auto via :func:`_shadow_cheap_ok`) selects the
     sqrt-free segment-form shadow sweeps; pass ``True`` explicitly when calling
-    under an outer jit with ordinary (< FAR/2 radius) scenes."""
+    under an outer jit with ordinary (< FAR/2 radius) scenes.
+
+    ``shadow_lists`` enables the two-pass level-0 shadow pipeline for rolled
+    scenes: a hit-extent prepass (:func:`_hit_extents_pallas`) bounds each
+    tile's shadow-ray origins, conservative per-(tile, light) occluder lists
+    are compacted host-side (:func:`_shadow_visibility_lists`), and the render
+    kernel's level-0 shadow sweeps scan only those lists
+    (:func:`_any_hit_listed`). ``None`` = auto (on for rolled scenes with
+    shadows)."""
     if cheap_shadow is None:
         cheap_shadow = _shadow_cheap_ok(scene, compat)
     tile_w, tile_h = _auto_tiles(camera, scene, aliasing=aliasing,
@@ -1110,20 +1446,23 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
         camera, scene, depth=depth, aliasing=aliasing, compat=compat,
         tile_w=tile_w, tile_h=tile_h, interpret=interpret, x_offset=x_offset,
         local_width=local_width, aa_share=aa_share, cull=cull,
-        shadow_cull=shadow_cull, cheap_shadow=cheap_shadow)
+        shadow_cull=shadow_cull, cheap_shadow=cheap_shadow,
+        shadow_lists=shadow_lists)
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "aliasing", "compat",
                                              "tile_w", "tile_h", "interpret",
                                              "local_width", "aa_share", "cull",
-                                             "shadow_cull", "cheap_shadow"))
+                                             "shadow_cull", "cheap_shadow",
+                                             "shadow_lists"))
 def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
                          compat: bool = True, tile_w: int = 40, tile_h: int = 128,
                          interpret: bool = False, x_offset=0.0,
                          local_width: int | None = None,
                          aa_share: bool = True, cull: bool = True,
                          shadow_cull: bool = False,
-                         cheap_shadow: bool = True) -> jnp.ndarray:
+                         cheap_shadow: bool = True,
+                         shadow_lists: bool | None = None) -> jnp.ndarray:
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
     S = len(AA_OFFSETS) if aliasing else 1
@@ -1177,6 +1516,26 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
         vis_idx, vis_cnt = _tile_visibility(
             camera, scene, n_u=n_u, n_v=n_v, TW=TW, TH=TH, swap_xy=swap_xy,
             x_offset=x_offset, compat=compat, K=vis_k)
+    # Two-pass level-0 shadow lists (see render_image_pallas docstring).
+    want_lists = (_SHADOW_LISTS_AUTO if shadow_lists is None else shadow_lists)
+    sh_k = _shadow_list_capacity(ns, n_u * n_v * nl) if nl else 0
+    sh_listed = (want_lists and ns > _UNROLL_LIMIT and nl > 0
+                 and npl <= _UNROLL_LIMIT
+                 and n_u * n_v * nl * sh_k <= _SH_BUDGET)
+    if sh_listed:
+        ext = _hit_extents_pallas(
+            params, sph, pln, W=W, H=H, n_u=n_u, n_v=n_v, TW=TW, TH=TH,
+            ns=ns, npl=npl, compat=compat, swap_xy=swap_xy, aliasing=aliasing,
+            culled=culled, vis_tabs=(vis_idx, vis_cnt) if culled else None,
+            vis_k=vis_k, interpret=interpret)
+        # sh_listed implies shadow_sort (both require nl > 0, rolled spheres),
+        # so `order` exists; lists index sph_sh positions.
+        sl_idx, sl_cnt = _shadow_visibility_lists(
+            ext, scene.lights.position.astype(jnp.float32),
+            scene.spheres.center.astype(jnp.float32),
+            scene.spheres.radius.astype(jnp.float32),
+            nl=nl, K=sh_k, compat=compat,
+            to_sorted=jnp.argsort(order).astype(jnp.int32))
     if aliasing and aa_share:
         # Dead-tile bounce predication pays off when sweeps are expensive
         # (rolled scenes); small scenes measured faster without the scratch
@@ -1188,7 +1547,8 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
                                         shadow_cull=sh_cull, vis_k=vis_k,
                                         cheap_shadow=cheap_shadow,
                                         shadow_sort=shadow_sort,
-                                        predicate_bounces=aa_predicate)
+                                        predicate_bounces=aa_predicate,
+                                        shadow_listed=sh_listed, sh_k=sh_k)
         in_specs = [smem(), smem(), smem(), smem()]
         args = [params, sph, pln, lts]
         if shadow_sort:
@@ -1197,6 +1557,9 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
         if culled:
             in_specs += [smem(), smem()]
             args += [vis_idx, vis_cnt]
+        if sh_listed:
+            in_specs += [smem(), smem()]
+            args += [sl_idx, sl_cnt]
         # shared-sample chains run up to (TW+8, TH+1); the shadow-cull and
         # bounce-predication scratch refs are allocated at the widest chain
         # shape and sliced down for narrower chains
@@ -1219,7 +1582,8 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
                           npl=npl, nl=nl, compat=compat, aliasing=aliasing,
                           predicate_bounces=predicate_bounces, swap_xy=swap_xy,
                           culled=culled, shadow_cull=sh_cull, vis_k=vis_k,
-                          cheap_shadow=cheap_shadow, shadow_sort=shadow_sort)
+                          cheap_shadow=cheap_shadow, shadow_sort=shadow_sort,
+                          shadow_listed=sh_listed, sh_k=sh_k)
     grid = (n_u, n_v, S)
     in_specs = [smem(), smem(), smem(), smem()]
     args = [params, sph, pln, lts]
@@ -1229,6 +1593,9 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
     if culled:
         in_specs += [smem(), smem()]
         args += [vis_idx, vis_cnt]
+    if sh_listed:
+        in_specs += [smem(), smem()]
+        args += [sl_idx, sl_cnt]
     scratch = ([pltpu.VMEM((TW, TH), jnp.float32)] * 11) if (depth > 0 and predicate_bounces) else []
     if sh_cull:
         scratch = scratch + [pltpu.VMEM((TW, TH), jnp.float32)]  # shadow cull

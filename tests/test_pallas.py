@@ -310,6 +310,79 @@ def test_pallas_shadow_cull_exact(compat, aliasing):
     assert np.abs(plain - without).max() > 1e-3
 
 
+@pytest.mark.parametrize("compat,aliasing,depth", [
+    (True, False, 1),
+    # shared-AA and clean variants re-trace the interpret graph (slow host)
+    pytest.param(True, True, 1, marks=pytest.mark.slow),
+    pytest.param(False, False, 2, marks=pytest.mark.slow)])
+def test_pallas_shadow_lists_exact(compat, aliasing, depth):
+    """The two-pass shadow pipeline must be invisible: shadow_lists=True ==
+    shadow_lists=False bit-for-bit (hit-extent prepass -> conservative
+    per-(tile,light) occluder lists -> listed level-0 sweeps).
+
+    Includes the planted beyond-the-light occluder (unlimited-range any-hit,
+    reference trace.py:92-96) and sky tiles (camera sees past the plane for
+    the top rows at this pose — those tiles' rows must cull to count 0 without
+    dropping occlusion anywhere)."""
+    import python_ray_tracer_tpu.models.scene as sc
+    base = rt.random_scene(jax.random.key(11), n_spheres=22)
+    L0 = np.asarray(base.lights.position)[0]
+    u = (L0 - np.array([0.0, 0.0, 2.0]))
+    u = u / np.linalg.norm(u)
+    beyond = (L0 + 4.0 * u).astype(np.float32)
+    scene = dataclasses.replace(
+        base, spheres=sc.Spheres(
+            center=jnp.concatenate([base.spheres.center, jnp.asarray([beyond])]),
+            radius=jnp.concatenate([base.spheres.radius, jnp.asarray([1.5])]),
+            albedo=jnp.concatenate([base.spheres.albedo,
+                                    jnp.asarray([[1.0, 0.0, 0.0]])])))
+    cam = rt.Camera.build((24, 16), [-7, 0, 3], [0, 10, 0])
+    kw = dict(depth=depth, aliasing=aliasing, aa_share=aliasing, compat=compat,
+              tile_w=8, tile_h=8, interpret=True)
+    listed = np.asarray(render_image_pallas(cam, scene, shadow_lists=True, **kw))
+    plain = np.asarray(render_image_pallas(cam, scene, shadow_lists=False, **kw))
+    np.testing.assert_array_equal(listed, plain)
+    # the beyond-the-light sphere must still shadow (quirk exercised)
+    without = np.asarray(render_image_pallas(cam, base, shadow_lists=True, **kw))
+    assert np.abs(listed - without).max() > 1e-3
+
+
+def test_shadow_visibility_lists_unit():
+    """List builder semantics: sky rows cull everything (count 0), compacted
+    rows are angular-size ordered and remapped to sorted-table positions, and
+    overflow rows carry the -1 sentinel."""
+    from python_ray_tracer_tpu.ops.pallas.render_pallas import (
+        _shadow_visibility_lists)
+    # one tile with hits near the origin, one sky tile (count slot 0)
+    ext = jnp.asarray([
+        [-1.0, -1.0, 0.0, 1.0, 1.0, 0.5, 64.0, 0.0],
+        [1e30, 1e30, 1e30, -1e30, -1e30, -1e30, 0.0, 0.0]], jnp.float32)
+    lights = jnp.asarray([[0.0, 0.0, 10.0]], jnp.float32)
+    # sphere 0: tiny + between tile and light (kept; smaller apparent size)
+    # sphere 1: big + just beyond the light (kept, quirk; biggest apparent)
+    # sphere 2: far off to the side (culled)
+    centers = jnp.asarray([[0.0, 0.0, 5.0], [0.0, 0.0, 14.0],
+                           [50.0, 0.0, 1.0]], jnp.float32)
+    radii = jnp.asarray([0.1, 3.0, 0.5], jnp.float32)
+    idx, cnt = _shadow_visibility_lists(ext, lights, centers, radii,
+                                        nl=1, K=2, compat=True)
+    cnt = np.asarray(cnt)
+    idx = np.asarray(idx).reshape(2, 2)
+    assert cnt[0] == 2 and cnt[1] == 0
+    assert list(idx[0]) == [1, 0]      # big-apparent-occluder first
+    # remap through a sorted-table permutation: original j sits at position
+    # to_sorted[j]
+    to_sorted = jnp.asarray([2, 0, 1], jnp.int32)
+    idx2, _ = _shadow_visibility_lists(ext, lights, centers, radii,
+                                       nl=1, K=2, compat=True,
+                                       to_sorted=to_sorted)
+    assert list(np.asarray(idx2).reshape(2, 2)[0]) == [0, 2]
+    # K overflow -> sentinel
+    _, cnt3 = _shadow_visibility_lists(ext, lights, centers, radii,
+                                       nl=1, K=1, compat=True)
+    assert np.asarray(cnt3)[0] == -1
+
+
 def test_cull_capacity_policy():
     """Compact-table sizing: K scales with scene density, then halves while the
     SMEM table budget would be exceeded (a large grid with a reduced K still
@@ -328,3 +401,10 @@ def test_cull_capacity_policy():
     # disables the cull (capacity itself stays at the floor)
     k = _cull_capacity(1000, 10_000)
     assert k == 32 and 10_000 * k > _CULL_BUDGET
+    # shadow-list capacity: same policy, 16-slot floor (rows are nl x tiles)
+    from python_ray_tracer_tpu.ops.pallas.render_pallas import (
+        _SH_BUDGET, _shadow_list_capacity)
+    assert _shadow_list_capacity(100, 405 * 3) == 32
+    assert _shadow_list_capacity(1000, 405 * 3) == 64
+    assert _shadow_list_capacity(1000, 3240 * 3) == 16
+    assert 3240 * 3 * 16 <= _SH_BUDGET
