@@ -496,8 +496,9 @@ def _any_hit_listed(sph, ns, pln, npl, ox, oy, oz, dirs, lists, *, compat,
     """Level-0 shadow occlusion over the two-pass per-(tile,light) occluder
     lists (see :func:`_shadow_visibility_lists`).
 
-    ``lists = (idx_ref, cnt_ref, tile_id, K, nl)``; light ``l``'s compact list
-    lives at flat row ``tile_id * nl + l``. ``sph`` must be the
+    ``lists = (idx_ref, cnt_ref, row_base, K, nl)`` with ``row_base =
+    tile_id * (depth+1) + trace_level``; light ``l``'s compact list lives at
+    flat row ``row_base * nl + l``. ``sph`` must be the
     angular-size-SORTED geometry table (``sph_sh``) — the lists index it, so
     the ``-1`` overflow sentinel's full identity sweep degrades to exactly the
     sorted sweep :func:`_any_hit_multi` runs, early exit included (count ``0``
@@ -505,7 +506,7 @@ def _any_hit_listed(sph, ns, pln, npl, ox, oy, oz, dirs, lists, *, compat,
     Unlike :func:`_any_hit_multi` there is no cross-light origin-term sharing
     — each light sweeps a different sphere subset — but K is a small fraction
     of ``ns``, which is the whole point."""
-    idx_ref, cnt_ref, tile_id, K, nl_total = lists
+    idx_ref, cnt_ref, row_base, K, nl_total = lists
     occ0 = jnp.zeros(shape, jnp.float32)
     eps = 1e-3 if compat else 1e-8
     oo = ox * ox + oy * oy + oz * oz
@@ -555,7 +556,7 @@ def _any_hit_listed(sph, ns, pln, npl, ox, oy, oz, dirs, lists, *, compat,
             return jnp.maximum(occ, valid.astype(jnp.float32))
 
         occs[l] = _culled_sphere_fold_ee(
-            ns, body, occs[l], (idx_ref, cnt_ref, tile_id * nl_total + l, K),
+            ns, body, occs[l], (idx_ref, cnt_ref, row_base * nl_total + l, K),
             done=lambda o: jnp.min(o) > 0.5)
     return occs
 
@@ -711,24 +712,42 @@ def _primary_geometry(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat,
     return alive, Px, Py, Pz, nx, ny, nz, ar, ag, ab
 
 
+def _reflect_dir(dx, dy, dz, nx, ny, nz):
+    """Normalized mirror direction ``d - 2(d.n)n`` (reference common.py:114-120).
+
+    Shared by :func:`_trace` and the hit-extent prepass so bounce-chain
+    geometry is bit-identical between the two passes."""
+    ddn = dx * nx + dy * ny + dz * nz
+    rx, ry, rz = dx - 2.0 * ddn * nx, dy - 2.0 * ddn * ny, dz - 2.0 * ddn * nz
+    rn = _rnorm(rx, ry, rz)
+    return rx * rn, ry * rn, rz * rn
+
+
 def _make_hit_extent_kernel(*, W, H, TW, TH, ns, npl, compat, swap_xy,
-                            chains, culled, vis_k):
-    """Pass 1 of the two-pass shadow pipeline: per-tile alive-hit AABBs.
+                            chains, culled, vis_k, n_levels):
+    """Pass 1 of the two-pass shadow pipeline: per-(tile, trace-level)
+    alive-hit AABBs.
 
     For every sample chain the render kernel will evaluate (``chains`` =
     ``(shape, du, dv, row_lim, col_lim)`` tuples mirroring the shared-AA
-    grids), run the SAME analytic ray-gen + culled closest-hit
-    (:func:`_raygen` / :func:`_primary_geometry` — bit-identical biased hit
-    points) and fold a masked min/max AABB over the lanes whose samples the
-    render pass can actually use: alive (hit within the far clip), inside the
-    global image (``[0, W-1] x [0, H-1]`` covers every consumed sample — edge
-    pixels consume only their center sample, interior AA samples sit at
+    grids), run the SAME analytic ray-gen + culled closest-hit + bounce-chain
+    geometry (:func:`_raygen` / :func:`_primary_geometry` / :func:`_reflect_dir`
+    — bit-identical biased hit points at every trace level; level-0 sweeps
+    take the cone cull, bounce sweeps are full, exactly like the render pass)
+    and fold per-level masked min/max AABBs over the lanes whose shadow
+    occlusion the render pass can actually consume: cumulative-alive (a lane
+    dead at level ``l`` contributes weight 0 to every level ``>= l``), inside
+    the global image (``[0, W-1] x [0, H-1]`` covers every consumed sample —
+    edge pixels consume only their center sample, interior AA samples sit at
     half-offsets strictly inside), and within the chain's shared-row/col
     limits (pad rows past the +1 halo are discarded by the consumer and may
     hit cone-culled spheres, so they must not widen the AABB).
 
-    Writes 8 SMEM f32 slots per tile: min xyz, max xyz, used-lane count,
-    pad. Grid steps write disjoint slots (TPU grids are sequential)."""
+    Writes 8 SMEM f32 slots per (tile, level) at ``(tile_id*n_levels +
+    level) * 8``: min xyz, max xyz, used-lane count, pad. ``n_levels`` may be
+    < depth+1: deeper levels keep the plain sorted sweep and the prepass
+    chain stops early. Grid steps write disjoint slots (TPU grids are
+    sequential)."""
     def kernel(params, sph, pln, *rest):
         rest = list(rest)
         vis_cnt = (rest.pop(0), rest.pop(0)) if culled else None
@@ -744,42 +763,57 @@ def _make_hit_extent_kernel(*, W, H, TW, TH, ns, npl, compat, swap_xy,
         else:
             fv = fv + params[_P_X0]
         big = jnp.float32(BIG)
-        mns = [big, big, big]
-        mxs = [-big, -big, -big]
-        tot = jnp.float32(0.0)
+        mns = [[big] * 3 for _ in range(n_levels)]
+        mxs = [[-big] * 3 for _ in range(n_levels)]
+        tots = [jnp.float32(0.0)] * n_levels
         for (shp, du, dv, row_lim, col_lim) in chains:
             iu = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
             iv = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
             u = fu + du + iu.astype(jnp.float32)
             v = fv + dv + iv.astype(jnp.float32)
             px, py = (u, v) if not swap_xy else (v, u)
-            alive, Px, Py, Pz, _nx, _ny, _nz, _ar, _ag, _ab = \
-                _primary_geometry(sph, ns, pln, npl, *_raygen(params, px, py),
-                                  compat=compat, shape=shp, cull=cull)
-            used = (alive & (px >= 0.0) & (px <= W - 1.0) &
-                    (py >= 0.0) & (py <= H - 1.0))
+            inb = ((px >= 0.0) & (px <= W - 1.0) &
+                   (py >= 0.0) & (py <= H - 1.0))
             if row_lim is not None:
-                used &= iu <= row_lim
+                inb &= iu <= row_lim
             if col_lim is not None:
-                used &= iv <= col_lim
-            for c, P in enumerate((Px, Py, Pz)):
-                mns[c] = jnp.minimum(mns[c], jnp.min(jnp.where(used, P, big)))
-                mxs[c] = jnp.maximum(mxs[c], jnp.max(jnp.where(used, P, -big)))
-            tot = tot + jnp.sum(used.astype(jnp.float32))
-        base = tile_id * 8
-        for c in range(3):
-            out_ref[base + c] = mns[c]
-            out_ref[base + 3 + c] = mxs[c]
-        out_ref[base + 6] = tot
-        out_ref[base + 7] = jnp.float32(0.0)
+                inb &= iv <= col_lim
+            ox, oy, oz, dx, dy, dz = _raygen(params, px, py)
+            cum = None
+            for level in range(n_levels):
+                alive, Px, Py, Pz, nx, ny, nz, _ar, _ag, _ab = \
+                    _primary_geometry(sph, ns, pln, npl, ox, oy, oz,
+                                      dx, dy, dz, compat=compat, shape=shp,
+                                      cull=cull if level == 0 else None)
+                cum = alive if cum is None else (cum & alive)
+                used = cum & inb
+                for c, P in enumerate((Px, Py, Pz)):
+                    mns[level][c] = jnp.minimum(
+                        mns[level][c], jnp.min(jnp.where(used, P, big)))
+                    mxs[level][c] = jnp.maximum(
+                        mxs[level][c], jnp.max(jnp.where(used, P, -big)))
+                tots[level] = tots[level] + jnp.sum(used.astype(jnp.float32))
+                if level + 1 < n_levels:
+                    dx, dy, dz = _reflect_dir(dx, dy, dz, nx, ny, nz)
+                    ox = Px + BIAS * dx
+                    oy = Py + BIAS * dy
+                    oz = Pz + BIAS * dz
+        for level in range(n_levels):
+            base = (tile_id * n_levels + level) * 8
+            for c in range(3):
+                out_ref[base + c] = mns[level][c]
+                out_ref[base + 3 + c] = mxs[level][c]
+            out_ref[base + 6] = tots[level]
+            out_ref[base + 7] = jnp.float32(0.0)
 
     return kernel
 
 
 def _hit_extents_pallas(params, sph, pln, *, W, H, n_u, n_v, TW, TH, ns, npl,
                         compat, swap_xy, aliasing, culled, vis_tabs, vis_k,
-                        interpret):
-    """Run the hit-extent pass; returns ``(n_tiles, 8)`` f32 AABB rows."""
+                        interpret, n_levels):
+    """Run the hit-extent pass; returns ``(n_tiles*n_levels, 8)`` f32 AABB
+    rows, levels fastest."""
     if aliasing:
         # Union of all 9 AA sample positions == the 4 shared grids (centers,
         # both half-axes, corners) — identical for the shared and per-sample
@@ -792,22 +826,24 @@ def _hit_extents_pallas(params, sph, pln, *, W, H, n_u, n_v, TW, TH, ns, npl,
         chains = (((TW, TH), 0.0, 0.0, None, None),)
     kernel = _make_hit_extent_kernel(W=W, H=H, TW=TW, TH=TH, ns=ns, npl=npl,
                                      compat=compat, swap_xy=swap_xy,
-                                     chains=chains, culled=culled, vis_k=vis_k)
+                                     chains=chains, culled=culled, vis_k=vis_k,
+                                     n_levels=n_levels)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [smem(), smem(), smem()]
     args = [params, sph, pln]
     if culled:
         in_specs += [smem(), smem()]
         args += [vis_tabs[0], vis_tabs[1]]
+    n_rows = n_u * n_v * n_levels
     out = pl.pallas_call(
         kernel,
         grid=(n_u, n_v),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_u * n_v * 8,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows * 8,), jnp.float32),
         interpret=interpret,
     )(*args)
-    return out.reshape(n_u * n_v, 8)
+    return out.reshape(n_rows, 8)
 
 
 def _shadow_visibility_lists(ext, lights, centers, radii, *, nl, K, compat,
@@ -890,9 +926,9 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
     Returns ``(r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive)``. ``cull`` (primary
     traces only) restricts the closest-hit sphere sweep to the tile's
     cone-visible list; ``shadow_scratch`` (a VMEM ref, rolled scenes) enables
-    the runtime capsule cull for shadow sweeps; ``sh_lists`` (primary traces
-    only) routes shadow sweeps through the two-pass per-(tile,light) occluder
-    lists (:func:`_any_hit_listed`)."""
+    the runtime capsule cull for shadow sweeps; ``sh_lists`` (with this
+    trace level's row base) routes shadow sweeps through the two-pass
+    per-(tile,level,light) occluder lists (:func:`_any_hit_listed`)."""
     amb = params[_P_AMB]
     lamb = params[_P_LAMB]
     alive, Px, Py, Pz, nx, ny, nz, ar, ag, ab = _primary_geometry(
@@ -902,10 +938,7 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
 
     # Mirror reflection dir (hoisted above the light loop: clean-mode Phong
     # evaluates L.R per light; values identical either way).
-    ddn = dx * nx + dy * ny + dz * nz
-    rx, ry, rz = dx - 2.0 * ddn * nx, dy - 2.0 * ddn * ny, dz - 2.0 * ddn * nz
-    rn = _rnorm(rx, ry, rz)
-    rx, ry, rz = rx * rn, ry * rn, rz * rn
+    rx, ry, rz = _reflect_dir(dx, dy, dz, nx, ny, nz)
 
     if nl:
         # Shadow sweeps read the (4, ns) angular-size-sorted sphere table when
@@ -994,13 +1027,23 @@ def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
     """Full sample evaluation: fractional pixel coords -> (r, g, b).
 
     Analytic ray generation + the unrolled bounce chain (value-flow form).
-    ``cull`` and ``sh_lists`` apply to the primary trace only."""
+    ``cull`` applies to the primary trace only; ``sh_lists`` carries the
+    level-0 row base — bounce traces get their own level's row."""
     ox, oy, oz, dx, dy, dz = _raygen(params, px, py)
     refl = params[_P_REFL]
+
+    def level_lists(level):
+        if sh_lists is None:
+            return None
+        idx, cnt, base0, K, nl_t, nlev = sh_lists
+        if level >= nlev:
+            return None
+        return (idx, cnt, base0 + level, K, nl_t)
+
     r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive = _trace(
         params, sph, ns, pln, npl, lts, nl, ox, oy, oz, dx, dy, dz,
         compat=compat, shape=shape, cull=cull, shadow_scratch=shadow_scratch,
-        cheap_shadow=cheap_shadow, sph_sh=sph_sh, sh_lists=sh_lists)
+        cheap_shadow=cheap_shadow, sph_sh=sph_sh, sh_lists=level_lists(0))
     if bounce_scratch is not None and depth > 0:
         # Whole-tile bounce predication (same scheme as _make_kernel's no-AA
         # path): dead/sky tiles skip every bounce's intersection + shadow
@@ -1026,7 +1069,7 @@ def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
                     sPx[...], sPy[...], sPz[...],
                     sRx[...], sRy[...], sRz[...], compat=compat, shape=shape,
                     shadow_scratch=shadow_scratch, cheap_shadow=cheap_shadow,
-                    sph_sh=sph_sh)
+                    sph_sh=sph_sh, sh_lists=level_lists(bounce + 1))
                 racc[...] += w * r2
                 gacc[...] += w * g2
                 bacc[...] += w * b2
@@ -1040,7 +1083,8 @@ def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
         r2, g2, b2, Px, Py, Pz, Rx, Ry, Rz, alive2 = _trace(
             params, sph, ns, pln, npl, lts, nl, Px, Py, Pz, Rx, Ry, Rz,
             compat=compat, shape=shape, shadow_scratch=shadow_scratch,
-            cheap_shadow=cheap_shadow, sph_sh=sph_sh)
+            cheap_shadow=cheap_shadow, sph_sh=sph_sh,
+            sh_lists=level_lists(bounce + 1))
         r, g, b = r + w * r2, g + w * g2, b + w * b2
         alive = alive & alive2
     return r, g, b
@@ -1050,7 +1094,7 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
                            swap_xy=False, culled=False, shadow_cull=False,
                            vis_k=0, cheap_shadow=True, shadow_sort=False,
                            predicate_bounces=False, shadow_listed=False,
-                           sh_k=0):
+                           sh_k=0, sh_levels=1):
     """3x3-supersampled kernel with fully shared half-offset samples.
 
     The reference's AA samples are midpoints between adjacent pixel locations
@@ -1087,8 +1131,8 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
         j = pl.program_id(1)
         tile_id = i * pl.num_programs(1) + j
         cull = (vis_cnt[0], vis_cnt[1], tile_id, vis_k) if culled else None
-        sh_lists = ((sh_tabs[0], sh_tabs[1], tile_id, sh_k, nl)
-                    if shadow_listed else None)
+        sh_lists = ((sh_tabs[0], sh_tabs[1], tile_id * sh_levels, sh_k,
+                     nl, sh_levels) if shadow_listed else None)
         # su: sublane-axis pixel coordinate; sv: lane-axis pixel coordinate.
         fu = (i * TW).astype(jnp.float32)
         fv = (j * TH).astype(jnp.float32)
@@ -1146,7 +1190,8 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
 def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                  predicate_bounces, swap_xy=False, culled=False,
                  shadow_cull=False, vis_k=0, cheap_shadow=True,
-                 shadow_sort=False, shadow_listed=False, sh_k=0):
+                 shadow_sort=False, shadow_listed=False, sh_k=0,
+                 sh_levels=1):
     shape = (TW, TH)
 
     def kernel(params, sph, pln, lts, *rest):
@@ -1160,7 +1205,8 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
             cull = None
         if shadow_listed:
             sl_idx, sl_cnt = rest.pop(0), rest.pop(0)
-            sh_lists = (sl_idx, sl_cnt, tile_id, sh_k, nl)
+            sh_lists = (sl_idx, sl_cnt, tile_id * sh_levels, sh_k, nl,
+                        sh_levels)
         else:
             sh_lists = None
         out_ref, *scratch = rest
@@ -1205,10 +1251,19 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
 
         # sample(): primary trace + unrolled bounce chain (trace.py:115-133).
         refl = params[_P_REFL]
+
+        def level_lists(level):
+            if sh_lists is None:
+                return None
+            idx, cnt, base0, K, nl_t, nlev = sh_lists
+            if level >= nlev:
+                return None
+            return (idx, cnt, base0 + level, K, nl_t)
+
         r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive = _trace(
             params, sph, ns, pln, npl, lts, nl, ox, oy, oz, dx, dy, dz,
             compat=compat, shape=shape, cull=cull, shadow_scratch=shadow_ref,
-            cheap_shadow=cheap_shadow, sph_sh=sph_sh, sh_lists=sh_lists)
+            cheap_shadow=cheap_shadow, sph_sh=sph_sh, sh_lists=level_lists(0))
         if depth > 0 and predicate_bounces:
             # Whole-tile predication via pl.when + VMEM scratch accumulators:
             # sky/fully-dead tiles skip every bounce's intersection+shadow sweeps
@@ -1231,7 +1286,7 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                         sPx[...], sPy[...], sPz[...],
                         sRx[...], sRy[...], sRz[...], compat=compat, shape=shape,
                         shadow_scratch=shadow_ref, cheap_shadow=cheap_shadow,
-                        sph_sh=sph_sh)
+                        sph_sh=sph_sh, sh_lists=level_lists(bounce + 1))
                     racc[...] += w * r2
                     gacc[...] += w * g2
                     bacc[...] += w * b2
@@ -1248,7 +1303,8 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                 r2, g2, b2, Px, Py, Pz, Rx, Ry, Rz, alive2 = _trace(
                     params, sph, ns, pln, npl, lts, nl, Px, Py, Pz, Rx, Ry, Rz,
                     compat=compat, shape=shape, shadow_scratch=shadow_ref,
-                    cheap_shadow=cheap_shadow, sph_sh=sph_sh)
+                    cheap_shadow=cheap_shadow, sph_sh=sph_sh,
+                    sh_lists=level_lists(bounce + 1))
                 r, g, b = r + w * r2, g + w * g2, b + w * b2
                 alive = alive & alive2
 
@@ -1346,9 +1402,12 @@ def _cull_capacity(ns: int, n_tiles: int) -> int:
 
 
 _SH_BUDGET = 160_000  # SMEM entries for the per-(tile,light) shadow tables
-# Default for shadow_lists=None. Off until the two-pass pipeline measures a
-# win on chip (the prepass + lists cost a kernel launch; see ROADMAP).
-_SHADOW_LISTS_AUTO = False
+# Default for shadow_lists=None: ON for rolled scenes, measured -4% (100-sphere
+# no-AA) to -11% (1000-sphere no-AA) on chip at level-0-only lists. Bounce
+# levels measured a clear LOSS (reflected hit points scatter, so bounce AABBs
+# cover everything and the prepass bounce chain is pure cost: 1000-sphere
+# no-AA 84 ms at levels=1 vs 132 ms at levels=3) — hence the levels=1 default.
+_SHADOW_LISTS_AUTO = True
 
 
 def _shadow_list_capacity(ns: int, n_rows: int) -> int:
@@ -1417,7 +1476,8 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
                         aa_share: bool = True, cull: bool = True,
                         shadow_cull: bool = False,
                         cheap_shadow: bool | None = None,
-                        shadow_lists: bool | None = None) -> jnp.ndarray:
+                        shadow_lists: bool | None = None,
+                        shadow_list_levels: int | None = None) -> jnp.ndarray:
     """Fused-kernel render -> float ``(w, h, 3)`` image, matching
     :func:`..render.render_image` output bit-for-bit up to f32 reassociation.
 
@@ -1430,13 +1490,17 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
     sqrt-free segment-form shadow sweeps; pass ``True`` explicitly when calling
     under an outer jit with ordinary (< FAR/2 radius) scenes.
 
-    ``shadow_lists`` enables the two-pass level-0 shadow pipeline for rolled
-    scenes: a hit-extent prepass (:func:`_hit_extents_pallas`) bounds each
-    tile's shadow-ray origins, conservative per-(tile, light) occluder lists
-    are compacted host-side (:func:`_shadow_visibility_lists`), and the render
-    kernel's level-0 shadow sweeps scan only those lists
-    (:func:`_any_hit_listed`). ``None`` = auto (on for rolled scenes with
-    shadows)."""
+    ``shadow_lists`` enables the two-pass shadow pipeline for rolled scenes:
+    a hit-extent prepass (:func:`_hit_extents_pallas`) bounds each tile's
+    shadow-ray origins, conservative per-(tile, level, light) occluder lists
+    are compacted host-side (:func:`_shadow_visibility_lists`), and the
+    render kernel's shadow sweeps scan only those lists
+    (:func:`_any_hit_listed`). ``None`` = auto (ON for rolled scenes with
+    shadows — measured -4..-11% on chip). ``shadow_list_levels`` bounds how
+    many trace levels get lists (default 1 = level-0 only: primary hit
+    points are tile-coherent so their AABBs cull well; reflected bounce
+    origins scatter, so deeper lists measured a net loss — the prepass
+    must then run the full bounce chain for AABBs that cull nothing)."""
     if cheap_shadow is None:
         cheap_shadow = _shadow_cheap_ok(scene, compat)
     tile_w, tile_h = _auto_tiles(camera, scene, aliasing=aliasing,
@@ -1447,14 +1511,15 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
         tile_w=tile_w, tile_h=tile_h, interpret=interpret, x_offset=x_offset,
         local_width=local_width, aa_share=aa_share, cull=cull,
         shadow_cull=shadow_cull, cheap_shadow=cheap_shadow,
-        shadow_lists=shadow_lists)
+        shadow_lists=shadow_lists, shadow_list_levels=shadow_list_levels)
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "aliasing", "compat",
                                              "tile_w", "tile_h", "interpret",
                                              "local_width", "aa_share", "cull",
                                              "shadow_cull", "cheap_shadow",
-                                             "shadow_lists"))
+                                             "shadow_lists",
+                                             "shadow_list_levels"))
 def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
                          compat: bool = True, tile_w: int = 40, tile_h: int = 128,
                          interpret: bool = False, x_offset=0.0,
@@ -1462,7 +1527,8 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
                          aa_share: bool = True, cull: bool = True,
                          shadow_cull: bool = False,
                          cheap_shadow: bool = True,
-                         shadow_lists: bool | None = None) -> jnp.ndarray:
+                         shadow_lists: bool | None = None,
+                         shadow_list_levels: int | None = None) -> jnp.ndarray:
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
     S = len(AA_OFFSETS) if aliasing else 1
@@ -1517,17 +1583,22 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
             camera, scene, n_u=n_u, n_v=n_v, TW=TW, TH=TH, swap_xy=swap_xy,
             x_offset=x_offset, compat=compat, K=vis_k)
     # Two-pass level-0 shadow lists (see render_image_pallas docstring).
-    want_lists = (_SHADOW_LISTS_AUTO if shadow_lists is None else shadow_lists)
-    sh_k = _shadow_list_capacity(ns, n_u * n_v * nl) if nl else 0
+    # Auto skips interpret mode: the prepass doubles CPU-interpret trace time
+    # and interpret is never a perf path; dedicated tests opt in explicitly.
+    want_lists = ((_SHADOW_LISTS_AUTO and not interpret)
+                  if shadow_lists is None else shadow_lists)
+    sh_levels = 1 if shadow_list_levels is None else \
+        max(1, min(depth + 1, shadow_list_levels))
+    sh_rows = n_u * n_v * sh_levels * nl
+    sh_k = _shadow_list_capacity(ns, sh_rows) if nl else 0
     sh_listed = (want_lists and ns > _UNROLL_LIMIT and nl > 0
-                 and npl <= _UNROLL_LIMIT
-                 and n_u * n_v * nl * sh_k <= _SH_BUDGET)
+                 and npl <= _UNROLL_LIMIT and sh_rows * sh_k <= _SH_BUDGET)
     if sh_listed:
         ext = _hit_extents_pallas(
             params, sph, pln, W=W, H=H, n_u=n_u, n_v=n_v, TW=TW, TH=TH,
             ns=ns, npl=npl, compat=compat, swap_xy=swap_xy, aliasing=aliasing,
             culled=culled, vis_tabs=(vis_idx, vis_cnt) if culled else None,
-            vis_k=vis_k, interpret=interpret)
+            vis_k=vis_k, interpret=interpret, n_levels=sh_levels)
         # sh_listed implies shadow_sort (both require nl > 0, rolled spheres),
         # so `order` exists; lists index sph_sh positions.
         sl_idx, sl_cnt = _shadow_visibility_lists(
@@ -1548,7 +1619,8 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
                                         cheap_shadow=cheap_shadow,
                                         shadow_sort=shadow_sort,
                                         predicate_bounces=aa_predicate,
-                                        shadow_listed=sh_listed, sh_k=sh_k)
+                                        shadow_listed=sh_listed, sh_k=sh_k,
+                                        sh_levels=sh_levels)
         in_specs = [smem(), smem(), smem(), smem()]
         args = [params, sph, pln, lts]
         if shadow_sort:
@@ -1583,7 +1655,8 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
                           predicate_bounces=predicate_bounces, swap_xy=swap_xy,
                           culled=culled, shadow_cull=sh_cull, vis_k=vis_k,
                           cheap_shadow=cheap_shadow, shadow_sort=shadow_sort,
-                          shadow_listed=sh_listed, sh_k=sh_k)
+                          shadow_listed=sh_listed, sh_k=sh_k,
+                          sh_levels=sh_levels)
     grid = (n_u, n_v, S)
     in_specs = [smem(), smem(), smem(), smem()]
     args = [params, sph, pln, lts]

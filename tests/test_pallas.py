@@ -310,12 +310,14 @@ def test_pallas_shadow_cull_exact(compat, aliasing):
     assert np.abs(plain - without).max() > 1e-3
 
 
-@pytest.mark.parametrize("compat,aliasing,depth", [
-    (True, False, 1),
-    # shared-AA and clean variants re-trace the interpret graph (slow host)
-    pytest.param(True, True, 1, marks=pytest.mark.slow),
-    pytest.param(False, False, 2, marks=pytest.mark.slow)])
-def test_pallas_shadow_lists_exact(compat, aliasing, depth):
+@pytest.mark.parametrize("compat,aliasing,depth,levels", [
+    (True, False, 1, None),          # lists at both trace levels
+    # partial levels, shared-AA, and clean variants re-trace the interpret
+    # graph (~15-40 s each on this host) — slow set
+    pytest.param(True, False, 2, 1, marks=pytest.mark.slow),
+    pytest.param(True, True, 1, None, marks=pytest.mark.slow),
+    pytest.param(False, False, 2, None, marks=pytest.mark.slow)])
+def test_pallas_shadow_lists_exact(compat, aliasing, depth, levels):
     """The two-pass shadow pipeline must be invisible: shadow_lists=True ==
     shadow_lists=False bit-for-bit (hit-extent prepass -> conservative
     per-(tile,light) occluder lists -> listed level-0 sweeps).
@@ -336,15 +338,39 @@ def test_pallas_shadow_lists_exact(compat, aliasing, depth):
             radius=jnp.concatenate([base.spheres.radius, jnp.asarray([1.5])]),
             albedo=jnp.concatenate([base.spheres.albedo,
                                     jnp.asarray([[1.0, 0.0, 0.0]])])))
-    cam = rt.Camera.build((24, 16), [-7, 0, 3], [0, 10, 0])
+    # 16x8 keeps the fast variant ~15 s (3 separate interpret traces:
+    # listed, plain, and the planted-occluder-free scene are all distinct)
+    cam = rt.Camera.build((16, 8), [-7, 0, 3], [0, 10, 0])
     kw = dict(depth=depth, aliasing=aliasing, aa_share=aliasing, compat=compat,
               tile_w=8, tile_h=8, interpret=True)
-    listed = np.asarray(render_image_pallas(cam, scene, shadow_lists=True, **kw))
+    listed = np.asarray(render_image_pallas(cam, scene, shadow_lists=True,
+                                            shadow_list_levels=levels, **kw))
     plain = np.asarray(render_image_pallas(cam, scene, shadow_lists=False, **kw))
     np.testing.assert_array_equal(listed, plain)
     # the beyond-the-light sphere must still shadow (quirk exercised)
-    without = np.asarray(render_image_pallas(cam, base, shadow_lists=True, **kw))
+    without = np.asarray(render_image_pallas(cam, base, shadow_lists=True,
+                                             shadow_list_levels=levels, **kw))
     assert np.abs(listed - without).max() > 1e-3
+
+
+def test_pallas_shadow_lists_sharded_slice():
+    """Lists under ray-DP slicing: on a vertical slice (x_offset +
+    local_width) the listed render must equal the unlisted one bit-for-bit
+    (the prepass reads the global x offset from params, so each shard builds
+    lists for its own tiles' global rays). Guards the production default —
+    the sharded path gets lists automatically. Slice-vs-full-columns is NOT
+    asserted bit-exact here: the slice layout reassociates f32 by ~1e-7
+    independently of lists (same tolerance class as
+    test_pallas_sharded_slices)."""
+    scene = rt.random_scene(jax.random.key(7), n_spheres=24)
+    cam = rt.Camera.build((16, 8), [-7, 0, 3], [0, 10, 0])
+    kw = dict(depth=0, aliasing=False, compat=True, tile_w=8, tile_h=8,
+              interpret=True, x_offset=8.0, local_width=8)
+    sl_listed = np.asarray(render_image_pallas(cam, scene, shadow_lists=True,
+                                               **kw))
+    sl_plain = np.asarray(render_image_pallas(cam, scene, shadow_lists=False,
+                                              **kw))
+    np.testing.assert_array_equal(sl_listed, sl_plain)
 
 
 def test_shadow_visibility_lists_unit():
