@@ -49,11 +49,18 @@ def main() -> int:
         g_img = (img * 1e-2 + 1e-4).astype(jnp.float32)
         iters = (10 if args.quick else 30) if aliasing else \
                 (20 if args.quick else 50)
-        for cull in (True, False):
-            label = f"bwd_{'AA' if aliasing else 'noAA'}_{'cull' if cull else 'nocull'}"
+        # (cone cull, two-pass shadow lists): lists stack on top of the cull
+        # (both are level-0 only; lists add the prepass cost but shrink the 3
+        # shadow-occlusion folds to the compact per-(tile, light) sets).
+        for cull, lists in ((True, True), (True, False), (False, False)):
+            tag = "AA" if aliasing else "noAA"
+            label = (f"bwd_{tag}_" +
+                     ("cull_lists" if lists else
+                      ("cull" if cull else "nocull")))
             fn = lambda: scene_grads_pallas(camera, scene, g_img,
                                             depth=args.depth, compat=True,
-                                            aliasing=aliasing, cull=cull)
+                                            aliasing=aliasing, cull=cull,
+                                            shadow_lists=lists)
             try:
                 secs = time_fn(fn, warmup=1, iters=iters, best_of=3)
             except Exception as e:

@@ -48,7 +48,9 @@ from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
                             BIG, _rnorm, _fold_objects, _sphere_occ_cheap,
                             _shadow_cheap_ok, _resolve_swap, _tile_visibility,
                             _cull_capacity, _culled_sphere_fold, _CULL_BUDGET,
-                            _CHUNK)
+                            _CHUNK, _culled_sphere_fold_ee, _hit_extents_pallas,
+                            _shadow_visibility_lists, _shadow_list_capacity,
+                            _SH_BUDGET, _SHADOW_LISTS_AUTO)
 
 _DEN_EPS = 1e-6   # grazing-hit clamp for implicit-function t adjoints
 
@@ -110,12 +112,20 @@ def _fold_spheres_culled(ns, body, carry, cull):
 
 
 def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
-                   cheap_shadow=True, cull=None):
+                   cheap_shadow=True, cull=None, sh_lists=None):
     """Forward trace storing every residual the reverse sweep needs.
 
     ``cull`` (primary trace only): per-tile compact visible-sphere list for the
     closest-hit and hit-attribute folds — see :func:`_fold_spheres_culled`.
-    The shadow-occlusion fold always sweeps all spheres (shadow rays scatter).
+    ``sh_lists = (idx_ref, cnt_ref, row_base, K, nl)`` (primary trace only)
+    routes the shadow-occlusion sphere folds through the two-pass
+    per-(tile, light) occluder lists (render_pallas._shadow_visibility_lists,
+    built here in ORIGINAL index order — no sorted table in the backward).
+    Exact: occlusion is an order-free max of per-sphere indicators computed
+    with the same arithmetic as the full fold, and a listed-out sphere
+    provably misses every level-0 shadow ray of the tile (the prepass AABB
+    bounds this kernel's own biased hit points bit-exactly). Bounce-level
+    occlusion always sweeps all spheres (shadow rays scatter).
     """
     ox, oy, oz = o
     dx, dy, dz = d
@@ -128,6 +138,13 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
     t = jnp.full(shape, FAR if compat else BIG, jnp.float32)
     hit_obj = jnp.full(shape, -1.0, jnp.float32)  # index into [spheres++planes]
     a = dx * dx + dy * dy + dz * dz
+    # Hoisted like the forward kernel's _closest_hit (render_pallas.py) — and
+    # the `* inv2a` form must MATCH it bit-for-bit: the two-pass shadow-list
+    # prepass bounds shadow-ray origins with _primary_geometry's hit points,
+    # so this recompute has to land on the exact same roots (a near-tie winner
+    # flip would move a biased origin by ~2*BIAS, within the list builder's
+    # 1e-3 slack — but identical arithmetic removes the class entirely).
+    inv2a = 1.0 / (2.0 * a)
     od = ox * dx + oy * dy + oz * dz
     oo = ox * ox + oy * oy + oz * oz
 
@@ -144,7 +161,7 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
         sq = jnp.sqrt(jnp.where(has, disc, 0.0))
         num_near = -b - sq
         num_far = -b + sq
-        t_j = jnp.where(num_near > 0.0, num_near, num_far) / (2.0 * a)
+        t_j = jnp.where(num_near > 0.0, num_near, num_far) * inv2a
         valid = has & (num_far > 0.0)  # far root >= near root always
         if ok is not None:
             valid = valid & ok
@@ -249,7 +266,53 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
         od_l.append(Pbx * Lx + Pby * Ly + Pbz * Lz)
     oo = Pbx * Pbx + Pby * Pby + Pbz * Pbz
     occs = [jnp.zeros(shape, jnp.float32) for _ in range(nl)]
-    if nl:
+    if nl and sh_lists is not None:
+        # Two-pass level-0 lists: per-light early-exit folds over the compact
+        # occluder lists (each light sweeps a different subset, so the
+        # cross-light oc/c hoist of the full fold doesn't apply — K << ns is
+        # the win). Same per-sphere arithmetic as _occ_body below, so the
+        # accumulated occ masks are bit-identical to the full sweep's.
+        idx_ref, cnt_ref, row_base, sh_k, nl_t = sh_lists
+        for l in range(nl):
+            def _occ_one(j, occ, ok, l=l):
+                cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
+                oc = cx * Pbx + cy * Pby + cz * Pbz
+                c = oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
+                Lx, Ly, Lz = dirs[l]
+                cd = cx * Lx + cy * Ly + cz * Lz
+                if cheap_shadow:
+                    valid = _sphere_occ_cheap(c, cd - od_l[l], a_l[l],
+                                              inva_l[l], compat)
+                else:
+                    b = 2.0 * (od_l[l] - cd)
+                    disc = b * b - 4.0 * a_l[l] * c
+                    has = disc >= 0.0
+                    sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+                    nn, nf = -b - sq, -b + sq
+                    t_j = jnp.where(nn > 0.0, nn, nf) * inv2a_l[l]
+                    valid = has & (nf > 0.0)
+                    if compat:
+                        valid &= t_j < FAR
+                valid &= ok
+                return jnp.maximum(occ, valid.astype(jnp.float32))
+            occs[l] = _culled_sphere_fold_ee(
+                ns, _occ_one, occs[l],
+                (idx_ref, cnt_ref, row_base * nl_t + l, sh_k),
+                done=lambda o2: jnp.min(o2) > 0.5)
+        eps = 1e-3 if compat else 1e-8
+        for j in range(npl):
+            pnx, pny, pnz = pln[3, j], pln[4, j], pln[5, j]
+            num = ((pln[0, j] - Pbx) * pnx + (pln[1, j] - Pby) * pny +
+                   (pln[2, j] - Pbz) * pnz)
+            for l, (Lx, Ly, Lz) in enumerate(dirs):
+                den = Lx * pnx + Ly * pny + Lz * pnz
+                den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+                t_j = num / den_safe
+                valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
+                if compat:
+                    valid &= t_j < FAR
+                occs[l] = jnp.maximum(occs[l], valid.astype(jnp.float32))
+    elif nl:
         def _occ_body(j, occs):
             cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
             oc = cx * Pbx + cy * Pby + cz * Pbz
@@ -583,7 +646,8 @@ def grad_layout(ns, npl, nl):
 
 def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                      swap_xy=False, aliasing=False, aa_share=False,
-                     cheap_shadow=True, culled=False, vis_k=0):
+                     cheap_shadow=True, culled=False, vis_k=0,
+                     shadow_listed=False, sh_k=0):
     # W, H: full-image extent (AA border semantics are global). U, V: the
     # local swap-resolved grid extent — W of this shard's slice, not the
     # image, when rendering a vertical slice (ray-DP sharding).
@@ -595,14 +659,19 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
     def kernel(params, sph, pln, lts, *rest):
         rest = list(rest)
         vis_cnt = (rest.pop(0), rest.pop(0)) if culled else None
+        sh_tabs = (rest.pop(0), rest.pop(0)) if shadow_listed else None
         g_ref, out_ref = rest
         i = pl.program_id(0)
         j = pl.program_id(1)
         smp = pl.program_id(2) if per_sample else 0
+        tile_id = i * pl.num_programs(1) + j
         # Level-0 cone cull (same table semantics as the forward kernel):
         # applied to the primary trace's closest-hit/attr/adjoint folds only.
-        cull = (vis_cnt[0], vis_cnt[1], i * pl.num_programs(1) + j, vis_k) \
-            if culled else None
+        cull = (vis_cnt[0], vis_cnt[1], tile_id, vis_k) if culled else None
+        # Level-0 two-pass shadow lists (original index order, 1 level —
+        # row_base is just the tile id; see _fwd_trace_res).
+        sh_lists = ((sh_tabs[0], sh_tabs[1], tile_id, sh_k, nl)
+                    if shadow_listed else None)
 
         first = (i == 0) & (j == 0)
         if per_sample:
@@ -678,7 +747,8 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                 rgb, o_next, d_next, alive, res = _fwd_trace_res(
                     params, sph, ns, pln, npl, lts, nl, o_cur, d_cur,
                     compat=compat, shape=shp, cheap_shadow=cheap_shadow,
-                    cull=cull if bounce == 0 else None)
+                    cull=cull if bounce == 0 else None,
+                    sh_lists=sh_lists if bounce == 0 else None)
                 traces.append(dict(rgb=rgb, res=res, weight=weight,
                                    aliveprod=aliveprod, bounce=bounce))
                 aliveprod = aliveprod * res["alive_f"]
@@ -824,7 +894,8 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                        interpret: bool = False, return_camera: bool = False,
                        aliasing: bool = False, aa_share: bool | None = None,
                        cheap_shadow: bool | None = None, cull: bool = True,
-                       x_offset=0.0, local_width: int | None = None):
+                       x_offset=0.0, local_width: int | None = None,
+                       shadow_lists: bool | None = None):
     """Fused backward (see _scene_grads_pallas). This un-jitted wrapper
     resolves the sqrt-free shadow-sweep guard while the scene is concrete and
     the measured-best tile/sharing defaults: AA cotangents run as shared
@@ -843,20 +914,23 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                                interpret=interpret, return_camera=return_camera,
                                aliasing=aliasing, aa_share=aa_share,
                                cheap_shadow=cheap_shadow, cull=cull,
-                               x_offset=x_offset, local_width=local_width)
+                               x_offset=x_offset, local_width=local_width,
+                               shadow_lists=shadow_lists)
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "compat", "tile_w",
                                              "tile_h", "interpret",
                                              "return_camera", "aliasing",
                                              "aa_share", "cheap_shadow",
-                                             "cull", "local_width"))
+                                             "cull", "local_width",
+                                             "shadow_lists"))
 def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                         compat: bool = True, tile_w: int = 40, tile_h: int = 128,
                         interpret: bool = False, return_camera: bool = False,
                         aliasing: bool = False, aa_share: bool = False,
                         cheap_shadow: bool = True, cull: bool = True,
-                        x_offset=0.0, local_width: int | None = None):
+                        x_offset=0.0, local_width: int | None = None,
+                        shadow_lists: bool | None = None):
     """Fused backward: cotangent image ``(w, h, 3)`` -> scene-gradient pytree.
 
     Matches ``jax.vjp`` of the jnp path. With ``return_camera=True`` also
@@ -898,13 +972,41 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     # forward kernel (recomputed here — the backward's tile geometry differs).
     vis_k = _cull_capacity(ns, n_u * n_v)
     culled = cull and ns > _UNROLL_LIMIT and n_u * n_v * vis_k <= _CULL_BUDGET
+    if culled:
+        vis_idx, vis_cnt = _tile_visibility(
+            camera, scene, n_u=n_u, n_v=n_v, TW=TW, TH=TH, swap_xy=swap_xy,
+            x_offset=x_offset, compat=compat, K=vis_k)
+    # Level-0 two-pass shadow lists, recomputed for the backward's own tile
+    # geometry and sample chains (same prepass as the forward — the AABB
+    # chains are a superset of both kernels' sample positions). Lists stay in
+    # ORIGINAL index order (the backward has no sorted shadow table);
+    # overflow rows degrade to the plain full sweep. Auto skips interpret
+    # mode, like the forward.
+    want_lists = ((_SHADOW_LISTS_AUTO and not interpret)
+                  if shadow_lists is None else shadow_lists)
+    sh_rows = n_u * n_v * nl
+    sh_k = _shadow_list_capacity(ns, sh_rows) if nl else 0
+    sh_listed = (want_lists and ns > _UNROLL_LIMIT and nl > 0
+                 and npl <= _UNROLL_LIMIT and sh_rows * sh_k <= _SH_BUDGET)
+    if sh_listed:
+        ext = _hit_extents_pallas(
+            params, sph, pln, W=W, H=H, n_u=n_u, n_v=n_v, TW=TW, TH=TH,
+            ns=ns, npl=npl, compat=compat, swap_xy=swap_xy, aliasing=aliasing,
+            culled=culled, vis_tabs=(vis_idx, vis_cnt) if culled else None,
+            vis_k=vis_k, interpret=interpret, n_levels=1)
+        sl_idx, sl_cnt = _shadow_visibility_lists(
+            ext, scene.lights.position.astype(jnp.float32),
+            scene.spheres.center.astype(jnp.float32),
+            scene.spheres.radius.astype(jnp.float32),
+            nl=nl, K=sh_k, compat=compat, to_sorted=None)
     kernel, n_grads = _make_bwd_kernel(W=W, H=H, U=U, V=V, TW=TW, TH=TH,
                                        depth=depth,
                                        ns=ns, npl=npl, nl=nl, compat=compat,
                                        swap_xy=swap_xy, aliasing=aliasing,
                                        aa_share=aa_share,
                                        cheap_shadow=cheap_shadow,
-                                       culled=culled, vis_k=vis_k)
+                                       culled=culled, vis_k=vis_k,
+                                       shadow_listed=sh_listed, sh_k=sh_k)
     g_chw = jnp.moveaxis(g_image.astype(jnp.float32), -1, 0)  # (3, W, H)
     if swap_xy:
         g_chw = jnp.transpose(g_chw, (0, 2, 1))               # (3, H, W)
@@ -918,11 +1020,11 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     in_specs = [smem(), smem(), smem(), smem()]
     args = [params, sph, pln, lts]
     if culled:
-        vis_idx, vis_cnt = _tile_visibility(
-            camera, scene, n_u=n_u, n_v=n_v, TW=TW, TH=TH, swap_xy=swap_xy,
-            x_offset=x_offset, compat=compat, K=vis_k)
         in_specs += [smem(), smem()]
         args += [vis_idx, vis_cnt]
+    if sh_listed:
+        in_specs += [smem(), smem()]
+        args += [sl_idx, sl_cnt]
     in_specs.append(g_spec)
     args.append(g_chw)
     flat = pl.pallas_call(

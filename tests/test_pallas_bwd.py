@@ -583,3 +583,146 @@ def test_bwd_cull_fold_fuzz():
             np.testing.assert_allclose(a / scale, b / scale, rtol=0,
                                        atol=5e-4)
     assert checked >= 4, f"only {checked}/8 draws were informative"
+
+
+# --- two-pass shadow lists in the backward (level-0 occlusion folds) ---------
+
+def _bwd_shadow_list_setup(n_spheres=20, W=32, H=16, TW=8, TH=16):
+    """Backward-tile-geometry prepass lists (ORIGINAL index order), exactly as
+    _scene_grads_pallas builds them."""
+    import python_ray_tracer_tpu.ops.pallas.render_pallas as rp
+    scene = rt.random_scene(jax.random.key(3), n_spheres=n_spheres)
+    cam = rt.Camera.build((W, H), [-2.0, 0.0, 2.0], [0.0, -30.0, 0.0])
+    ns, npl = scene.spheres.count, scene.planes.count
+    nl = scene.lights.count
+    params = rp._pack_params(cam, scene, True, 0.0)
+    sph = jnp.concatenate([scene.spheres.center.T, scene.spheres.radius[None],
+                           scene.spheres.albedo.T], axis=0).astype(jnp.float32)
+    pln = jnp.concatenate([scene.planes.origin.T, scene.planes.normal.T,
+                           scene.planes.albedo.T], axis=0).astype(jnp.float32)
+    lts = scene.lights.position.T.astype(jnp.float32)
+    swap = rp._resolve_swap(W, H)
+    U, V = (H, W) if swap else (W, H)
+    n_u, n_v = -(-U // TW), -(-V // TH)
+    vis_k = rp._cull_capacity(ns, n_u * n_v)
+    vis = rp._tile_visibility(cam, scene, n_u=n_u, n_v=n_v, TW=TW, TH=TH,
+                              swap_xy=swap, x_offset=0.0, compat=True, K=vis_k)
+    ext = rp._hit_extents_pallas(params, sph, pln, W=W, H=H, n_u=n_u, n_v=n_v,
+                                 TW=TW, TH=TH, ns=ns, npl=npl, compat=True,
+                                 swap_xy=swap, aliasing=True, culled=True,
+                                 vis_tabs=vis, vis_k=vis_k, interpret=True,
+                                 n_levels=1)
+    sh_k = rp._shadow_list_capacity(ns, n_u * n_v * nl)
+    sl_idx, sl_cnt = rp._shadow_visibility_lists(
+        ext, scene.lights.position.astype(jnp.float32),
+        scene.spheres.center.astype(jnp.float32),
+        scene.spheres.radius.astype(jnp.float32),
+        nl=nl, K=sh_k, compat=True, to_sorted=None)
+    return (scene, cam, params, sph, pln, lts, swap, (n_u, n_v), (TW, TH),
+            vis + (vis_k,), (sl_idx, sl_cnt, sh_k))
+
+
+def test_bwd_shadow_lists_occ_bitexact_jnp():
+    """Level-0 Lambert masks (occlusion & ldotn) of the listed occlusion fold
+    must BIT-equal the full sweep's on every consumed lane — occlusion is an
+    order-free max of per-sphere indicators computed with identical
+    arithmetic, and the prepass AABB bounds this kernel's own biased hit
+    points bit-exactly (the closest-hit recompute shares _closest_hit's
+    hoisted * inv2a root form for exactly this reason). Lanes outside the
+    image (AA halo samples, excluded from the AABB) carry zero cotangent and
+    may differ."""
+    import python_ray_tracer_tpu.ops.pallas.render_bwd as rb
+    import python_ray_tracer_tpu.ops.pallas.render_pallas as rp
+    (scene, cam, params, sph, pln, lts, swap, (n_u, n_v), (TW, TH),
+     (vis_idx, vis_cnt, vis_k), (sl_idx, sl_cnt, sh_k)) = \
+        _bwd_shadow_list_setup()
+    ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
+    W, H = cam.resolution
+    cnts = np.asarray(sl_cnt)
+    assert ((0 < cnts) & (cnts < ns)).any(), "vacuous: no row culls anything"
+
+    @jax.jit
+    def mismatches_for(tile_id, du, dv):
+        ti = tile_id // n_v
+        tj = tile_id % n_v
+        iu = (jnp.arange(TW, dtype=jnp.float32)[:, None]
+              + (ti * TW).astype(jnp.float32))
+        iv = (jnp.arange(TH, dtype=jnp.float32)[None, :]
+              + (tj * TH).astype(jnp.float32))
+        u = jnp.broadcast_to(iu + du, (TW, TH))
+        v = jnp.broadcast_to(iv + dv, (TW, TH))
+        px, py = (u, v) if not swap else (v, u)
+        ox, oy, oz, dx, dy, dz = rp._raygen(params, px, py)
+        o3 = tuple(jnp.full((TW, TH), c, jnp.float32) for c in (ox, oy, oz))
+        common = dict(compat=True, shape=(TW, TH), cheap_shadow=True,
+                      cull=(vis_idx, vis_cnt, tile_id, vis_k))
+        _, _, _, alive, res0 = rb._fwd_trace_res(
+            params, sph, ns, pln, npl, lts, nl, o3, (dx, dy, dz),
+            sh_lists=None, **common)
+        _, _, _, _, res1 = rb._fwd_trace_res(
+            params, sph, ns, pln, npl, lts, nl, o3, (dx, dy, dz),
+            sh_lists=(sl_idx, sl_cnt, tile_id, sh_k, nl), **common)
+        gx, gy = (u, v) if not swap else (v, u)
+        used = (alive & (gx >= 0) & (gx <= W - 1)
+                & (gy >= 0) & (gy <= H - 1))
+        bad = 0
+        for l in range(nl):
+            bad += jnp.sum((res0["lights"][l][4] != res1["lights"][l][4])
+                           & used)
+        return bad
+
+    mismatches = 0
+    for tile_id in range(n_u * n_v):
+        for du, dv in [(0.0, 0.0), (-0.5, 0.0), (0.5, 0.5)]:
+            mismatches += int(mismatches_for(jnp.int32(tile_id),
+                                             jnp.float32(du),
+                                             jnp.float32(dv)))
+    assert mismatches == 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("aliasing,aa_share", [(False, False), (True, False),
+                                               (True, True)])
+def test_bwd_shadow_lists_match_plain_kernel(aliasing, aa_share):
+    """Whole-kernel listed vs plain gradients in every cotangent layout.
+    Tolerance-only for the same reason as cull-vs-nocull (separately compiled
+    program variants FMA-contract differently, ~1 ULP); the occ-mask test
+    above pins the exact invariant. On-chip 2026-08: no-AA and per-sample AA
+    happened to be bit-equal, shared-AA differed by 1.2e-7 on scale 1e2."""
+    import python_ray_tracer_tpu.ops.pallas.render_bwd as rb
+    scene = rt.random_scene(jax.random.key(3), n_spheres=18)
+    cam = rt.Camera.build((12, 12), [-6, 0, 3], [0, -20, 0])
+    img = rt.render_image(cam, scene, depth=1, aliasing=aliasing, compat=True)
+    g_img = img * 1e-2 + 1e-4
+    kw = dict(depth=1, compat=True, tile_w=8, tile_h=16, interpret=True,
+              aliasing=aliasing, aa_share=aa_share, return_camera=True)
+    gL = rb.scene_grads_pallas(cam, scene, g_img, shadow_lists=True, **kw)
+    gN = rb.scene_grads_pallas(cam, scene, g_img, shadow_lists=False, **kw)
+    for a, b in zip(jax.tree_util.tree_leaves(gL),
+                    jax.tree_util.tree_leaves(gN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_bwd_shadow_lists_sharded_slices_sum():
+    """Listed backward over two vertical ray-DP slices: slice gradients sum to
+    the full-image gradients — covers the x_offset/local_width + prepass
+    interaction (the prepass packs the slice's global x offset into params)."""
+    import python_ray_tracer_tpu.ops.pallas.render_bwd as rb
+    scene = rt.random_scene(jax.random.key(3), n_spheres=18)
+    cam = rt.Camera.build((32, 16), [-6, 0, 3], [0, -20, 0])
+    img = rt.render_image(cam, scene, depth=1, aliasing=False, compat=True)
+    g_img = img * 1e-2 + 1e-4
+    kw = dict(depth=1, compat=True, tile_w=8, tile_h=16, interpret=True,
+              return_camera=True, shadow_lists=True)
+    full = rb.scene_grads_pallas(cam, scene, g_img, **kw)
+    lo = rb.scene_grads_pallas(cam, scene, g_img[:16], x_offset=0.0,
+                               local_width=16, **kw)
+    hi = rb.scene_grads_pallas(cam, scene, g_img[16:], x_offset=16.0,
+                               local_width=16, **kw)
+    for a, b, c in zip(jax.tree_util.tree_leaves(full),
+                       jax.tree_util.tree_leaves(lo),
+                       jax.tree_util.tree_leaves(hi)):
+        np.testing.assert_allclose(np.asarray(b) + np.asarray(c),
+                                   np.asarray(a), rtol=1e-4, atol=1e-6)
