@@ -587,7 +587,7 @@ def test_bwd_cull_fold_fuzz():
 
 # --- two-pass shadow lists in the backward (level-0 occlusion folds) ---------
 
-def _bwd_shadow_list_setup(n_spheres=20, W=32, H=16, TW=8, TH=16):
+def _bwd_shadow_list_setup(n_spheres=18, W=32, H=16, TW=8, TH=16):
     """Backward-tile-geometry prepass lists (ORIGINAL index order), exactly as
     _scene_grads_pallas builds them."""
     import python_ray_tracer_tpu.ops.pallas.render_pallas as rp
@@ -673,7 +673,7 @@ def test_bwd_shadow_lists_occ_bitexact_jnp():
 
     mismatches = 0
     for tile_id in range(n_u * n_v):
-        for du, dv in [(0.0, 0.0), (-0.5, 0.0), (0.5, 0.5)]:
+        for du, dv in [(0.0, 0.0), (-0.5, 0.5)]:
             mismatches += int(mismatches_for(jnp.int32(tile_id),
                                              jnp.float32(du),
                                              jnp.float32(dv)))
