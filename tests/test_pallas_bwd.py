@@ -108,12 +108,16 @@ def test_pallas_train_step_converges():
         rt.Lights.build([[2.5, -2.0, 3.0], [2.5, 2.0, 3.0]]),
         rt.Materials.build())
     orig_fwd, orig_bwd = rp.render_image_pallas, rb.scene_grads_pallas
+    orig_fused = rb.loss_and_scene_grads_pallas
     try:
         rp.render_image_pallas = lambda c, s, **kw: orig_fwd(
             c, s, interpret=True, **{k: v for k, v in kw.items()
                                      if k != "interpret"})
         rb.scene_grads_pallas = lambda c, s, g, **kw: orig_bwd(
             c, s, g, interpret=True, **{k: v for k, v in kw.items()
+                                        if k != "interpret"})
+        rb.loss_and_scene_grads_pallas = lambda c, s, t, **kw: orig_fused(
+            c, s, t, interpret=True, **{k: v for k, v in kw.items()
                                         if k != "interpret"})
         target = orig_fwd(cam, scene, depth=1, aliasing=False, compat=True,
                           interpret=True)
@@ -125,6 +129,7 @@ def test_pallas_train_step_converges():
                                          trainable=("spheres.center",))
     finally:
         rp.render_image_pallas, rb.scene_grads_pallas = orig_fwd, orig_bwd
+        rb.loss_and_scene_grads_pallas = orig_fused
     assert losses[-1] < losses[0] * 0.6, losses[::5]
 
 
@@ -724,5 +729,76 @@ def test_bwd_shadow_lists_sharded_slices_sum():
     for a, b, c in zip(jax.tree_util.tree_leaves(full),
                        jax.tree_util.tree_leaves(lo),
                        jax.tree_util.tree_leaves(hi)):
+        np.testing.assert_allclose(np.asarray(b) + np.asarray(c),
+                                   np.asarray(a), rtol=1e-4, atol=1e-6)
+
+
+# --- fully-fused training step (in-kernel MSE loss + cotangent) --------------
+
+@pytest.mark.parametrize("n_spheres", [2, 18])
+def test_fused_loss_matches_two_pass(n_spheres):
+    """loss_and_scene_grads_pallas == (render -> MSE -> scene_grads_pallas) to
+    tolerance. Not bit-exact by design: the in-kernel combine factors shading
+    as (amb + lamb*sum)*albedo where the render kernel accumulates per-light
+    terms — equal in exact arithmetic, ~1 ULP apart in f32 (measured 1e-7
+    relative on both a 2-sphere and an 18-sphere rolled scene)."""
+    from python_ray_tracer_tpu.ops.pallas.render_bwd import (
+        scene_grads_pallas, loss_and_scene_grads_pallas)
+    from python_ray_tracer_tpu.ops.pallas.render_pallas import \
+        render_image_pallas
+    if n_spheres == 2:
+        scene = rt.Scene(
+            rt.Spheres.build([([2.5, 0.5, 1.0], 0.8, rt.RED),
+                              ([1.5, -0.9, 0.5], 0.5, rt.BLUE)]),
+            rt.Planes.build([([5, 0, 0], [0, 0, 1], rt.GREY)]),
+            rt.Lights.build([[2.5, -2.0, 3.0], [2.5, 2.0, 3.0]]),
+            rt.Materials.build())
+    else:
+        scene = rt.random_scene(jax.random.key(3), n_spheres=n_spheres)
+    W, H = 32, 16
+    cam = rt.Camera.build((W, H), [-6.0, 0.0, 3.0], [0.0, -20.0, 0.0])
+    img = render_image_pallas(cam, scene, depth=1, aliasing=False, compat=True,
+                              interpret=True)
+    target = img * 0.9 + 1.0
+    diff = img - target
+    loss0 = jnp.mean(diff ** 2)
+    g0 = scene_grads_pallas(cam, scene, 2.0 * diff / diff.size, depth=1,
+                            compat=True, tile_w=8, tile_h=16, interpret=True,
+                            return_camera=True)
+    loss1, *g1 = loss_and_scene_grads_pallas(cam, scene, target, depth=1,
+                                             compat=True, tile_w=8, tile_h=16,
+                                             interpret=True,
+                                             return_camera=True)
+    np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(tuple(g1))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fused_loss_sharded_slices_sum():
+    """Fused-step slices: per-slice loss partials (GLOBAL denominator) sum to
+    the full-image MSE, and slice gradients sum to the full-image gradients —
+    the invariant the sharded training psum relies on."""
+    from python_ray_tracer_tpu.ops.pallas.render_bwd import \
+        loss_and_scene_grads_pallas
+    from python_ray_tracer_tpu.ops.pallas.render_pallas import \
+        render_image_pallas
+    scene = rt.random_scene(jax.random.key(3), n_spheres=18)
+    cam = rt.Camera.build((32, 16), [-6, 0, 3], [0, -20, 0])
+    img = render_image_pallas(cam, scene, depth=1, aliasing=False, compat=True,
+                              interpret=True)
+    target = img * 0.9 + 1.0
+    kw = dict(depth=1, compat=True, tile_w=8, tile_h=16, interpret=True)
+    lf, gf = loss_and_scene_grads_pallas(cam, scene, target, **kw)
+    ll, gl = loss_and_scene_grads_pallas(cam, scene, target[:16],
+                                         x_offset=0.0, local_width=16, **kw)
+    lh, gh = loss_and_scene_grads_pallas(cam, scene, target[16:],
+                                         x_offset=16.0, local_width=16, **kw)
+    np.testing.assert_allclose(float(ll) + float(lh), float(lf), rtol=1e-5)
+    for a, b, c in zip(jax.tree_util.tree_leaves(gf),
+                       jax.tree_util.tree_leaves(gl),
+                       jax.tree_util.tree_leaves(gh)):
         np.testing.assert_allclose(np.asarray(b) + np.asarray(c),
                                    np.asarray(a), rtol=1e-4, atol=1e-6)

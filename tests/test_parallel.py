@@ -169,7 +169,11 @@ def test_sharded_fused_value_and_grad(demo_scene):
     g_img = 2.0 * diff / diff.size
     grads_ref = scene_grads_pallas(cam, demo_scene, g_img, depth=1,
                                    compat=True, interpret=True)
-    assert float(loss_sh) == pytest.approx(float(loss_ref), rel=1e-6)
+    # rel 1e-5, not 1e-6: the sharded step is fully fused (in-kernel MSE) —
+    # per-tile loss partials + psum reassociate the f32 sum vs jnp.mean, and
+    # the in-kernel forward combine factors shading as (amb+lamb*sum)*albedo
+    # (~1 ULP vs the render kernel; see loss_and_scene_grads_pallas).
+    assert float(loss_sh) == pytest.approx(float(loss_ref), rel=1e-5)
     # slice-partial + psum reassociates the f32 pixel sums vs one full sweep
     for a, b in zip(jax.tree_util.tree_leaves(grads_sh),
                     jax.tree_util.tree_leaves(grads_ref)):
