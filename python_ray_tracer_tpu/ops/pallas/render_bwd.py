@@ -50,7 +50,7 @@ from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
                             _cull_capacity, _culled_sphere_fold, _CULL_BUDGET,
                             _CHUNK, _culled_sphere_fold_ee, _hit_extents_pallas,
                             _shadow_visibility_lists, _shadow_list_capacity,
-                            _SH_BUDGET, _SHADOW_LISTS_AUTO)
+                            _SH_BUDGET, _SHADOW_LISTS_AUTO, _any_hit_listed)
 
 _DEN_EPS = 1e-6   # grazing-hit clamp for implicit-function t adjoints
 
@@ -259,59 +259,29 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
         Lx, Ly, Lz = wx * lrn, wy * lrn, wz * lrn
         dirs.append((Lx, Ly, Lz))
         lrns.append(lrn)
-        a = Lx * Lx + Ly * Ly + Lz * Lz
-        a_l.append(a)
-        inv2a_l.append(1.0 / (2.0 * a))
+        # NOT `a` — that name is the PRIMARY ray's d.d, stored in res["a"] for
+        # the implicit-function t-adjoints; rebinding it here would silently
+        # feed the last light's |L|^2 into every t-gradient denominator
+        # (~1 ULP today because both are unit-normalized, arbitrarily wrong
+        # the moment either stops being).
+        la = Lx * Lx + Ly * Ly + Lz * Lz
+        a_l.append(la)
+        inv2a_l.append(1.0 / (2.0 * la))
         inva_l.append(inv2a_l[-1] + inv2a_l[-1])
         od_l.append(Pbx * Lx + Pby * Ly + Pbz * Lz)
     oo = Pbx * Pbx + Pby * Pby + Pbz * Pbz
     occs = [jnp.zeros(shape, jnp.float32) for _ in range(nl)]
     if nl and sh_lists is not None:
-        # Two-pass level-0 lists: per-light early-exit folds over the compact
-        # occluder lists (each light sweeps a different subset, so the
-        # cross-light oc/c hoist of the full fold doesn't apply — K << ns is
-        # the win). Same per-sphere arithmetic as _occ_body below, so the
-        # accumulated occ masks are bit-identical to the full sweep's.
-        idx_ref, cnt_ref, row_base, sh_k, nl_t = sh_lists
-        for l in range(nl):
-            def _occ_one(j, occ, ok, l=l):
-                cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
-                oc = cx * Pbx + cy * Pby + cz * Pbz
-                c = oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
-                Lx, Ly, Lz = dirs[l]
-                cd = cx * Lx + cy * Ly + cz * Lz
-                if cheap_shadow:
-                    valid = _sphere_occ_cheap(c, cd - od_l[l], a_l[l],
-                                              inva_l[l], compat)
-                else:
-                    b = 2.0 * (od_l[l] - cd)
-                    disc = b * b - 4.0 * a_l[l] * c
-                    has = disc >= 0.0
-                    sq = jnp.sqrt(jnp.where(has, disc, 0.0))
-                    nn, nf = -b - sq, -b + sq
-                    t_j = jnp.where(nn > 0.0, nn, nf) * inv2a_l[l]
-                    valid = has & (nf > 0.0)
-                    if compat:
-                        valid &= t_j < FAR
-                valid &= ok
-                return jnp.maximum(occ, valid.astype(jnp.float32))
-            occs[l] = _culled_sphere_fold_ee(
-                ns, _occ_one, occs[l],
-                (idx_ref, cnt_ref, row_base * nl_t + l, sh_k),
-                done=lambda o2: jnp.min(o2) > 0.5)
-        eps = 1e-3 if compat else 1e-8
-        for j in range(npl):
-            pnx, pny, pnz = pln[3, j], pln[4, j], pln[5, j]
-            num = ((pln[0, j] - Pbx) * pnx + (pln[1, j] - Pby) * pny +
-                   (pln[2, j] - Pbz) * pnz)
-            for l, (Lx, Ly, Lz) in enumerate(dirs):
-                den = Lx * pnx + Ly * pny + Lz * pnz
-                den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
-                t_j = num / den_safe
-                valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
-                if compat:
-                    valid &= t_j < FAR
-                occs[l] = jnp.maximum(occs[l], valid.astype(jnp.float32))
+        # Two-pass level-0 lists: THE SAME code object as the forward kernel's
+        # listed sweep (list/sentinel sweep semantics must live once — the
+        # _fold_spheres_culled rule). Its per-sphere arithmetic matches
+        # _occ_body below expression-for-expression, so the accumulated occ
+        # masks are bit-identical to the full sweep's; it also seeds plane
+        # occlusion before the sphere folds, letting the early exit fire on
+        # plane-shadowed tiles.
+        occs = _any_hit_listed(sph, ns, pln, npl, Pbx, Pby, Pbz, dirs,
+                               sh_lists, compat=compat, shape=shape,
+                               cheap=cheap_shadow)
     elif nl:
         def _occ_body(j, occs):
             cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
@@ -836,10 +806,12 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
         # cotangent block is uninitialized memory — it would otherwise flow
         # into the scalar reductions.
         # where-select, not multiply: pad memory can hold NaN/inf on hardware
-        # and NaN * 0 == NaN.
-        g0 = jnp.where(inb, g_ref[0], 0.0)
-        g1 = jnp.where(inb, g_ref[1], 0.0)
-        g2 = jnp.where(inb, g_ref[2], 0.0)
+        # and NaN * 0 == NaN. (The fused_loss path masks inside run_chain
+        # instead — its g_ref block is the raw target.)
+        if not fused_loss:
+            g0 = jnp.where(inb, g_ref[0], 0.0)
+            g1 = jnp.where(inb, g_ref[1], 0.0)
+            g2 = jnp.where(inb, g_ref[2], 0.0)
 
         if fused_loss:
             # g_ref holds the TARGET block (stored layout); the cotangent is

@@ -735,8 +735,13 @@ def test_bwd_shadow_lists_sharded_slices_sum():
 
 # --- fully-fused training step (in-kernel MSE loss + cotangent) --------------
 
-@pytest.mark.parametrize("n_spheres", [2, 18])
-def test_fused_loss_matches_two_pass(n_spheres):
+@pytest.mark.parametrize("n_spheres,lists", [
+    (2, False), (18, False),
+    # lists=True is the PRODUCTION on-chip combination for rolled scenes
+    # (shadow_lists auto-ON outside interpret mode): fused MSE cotangent
+    # formed from a forward chain whose occ masks come from the listed folds.
+    pytest.param(18, True, marks=pytest.mark.slow)])
+def test_fused_loss_matches_two_pass(n_spheres, lists):
     """loss_and_scene_grads_pallas == (render -> MSE -> scene_grads_pallas) to
     tolerance. Not bit-exact by design: the in-kernel combine factors shading
     as (amb + lamb*sum)*albedo where the render kernel accumulates per-light
@@ -762,13 +767,10 @@ def test_fused_loss_matches_two_pass(n_spheres):
     target = img * 0.9 + 1.0
     diff = img - target
     loss0 = jnp.mean(diff ** 2)
-    g0 = scene_grads_pallas(cam, scene, 2.0 * diff / diff.size, depth=1,
-                            compat=True, tile_w=8, tile_h=16, interpret=True,
-                            return_camera=True)
-    loss1, *g1 = loss_and_scene_grads_pallas(cam, scene, target, depth=1,
-                                             compat=True, tile_w=8, tile_h=16,
-                                             interpret=True,
-                                             return_camera=True)
+    kw = dict(depth=1, compat=True, tile_w=8, tile_h=16, interpret=True,
+              return_camera=True, shadow_lists=lists)
+    g0 = scene_grads_pallas(cam, scene, 2.0 * diff / diff.size, **kw)
+    loss1, *g1 = loss_and_scene_grads_pallas(cam, scene, target, **kw)
     np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(g0),
                     jax.tree_util.tree_leaves(tuple(g1))):
