@@ -17,7 +17,7 @@ import numpy as np
 
 from . import (Camera, default_scene, random_scene, render_image, to_framebuffer,
                save_png, time_fn, rays_per_image, Materials, MetricsLogger)
-from .utils.config import RenderConfig
+from .utils.config import RenderConfig, resolve_backend
 
 
 def _add_render_args(p: argparse.ArgumentParser) -> None:
@@ -32,7 +32,9 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fov", type=float, default=d.fov)
     p.add_argument("--clean", action="store_true",
                    help="disable reference-quirk compat mode")
-    p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp")
+    p.add_argument("--backend", choices=["auto", "jnp", "pallas"],
+                   default=d.backend,
+                   help="auto = pallas on TPU, jnp elsewhere")
     p.add_argument("--soft", type=float, default=0.0, metavar="TAU",
                    help="render with the soft-visibility renderer at this tau")
     p.add_argument("--spheres", type=int, default=0,
@@ -44,7 +46,8 @@ def _build(args):
     cfg = RenderConfig(width=args.width, height=args.height, ambient=args.ambient,
                        lambert=args.lambert, reflection=args.reflection,
                        depth=args.depth, aliasing=not args.no_aliasing, fov=args.fov,
-                       compat=not args.clean, backend=args.backend)
+                       compat=not args.clean,
+                       backend=resolve_backend(args.backend))
     mats = Materials.build(cfg.ambient, cfg.lambert, cfg.reflection,
                            cfg.specular, cfg.shininess)
     if args.spheres > 0:

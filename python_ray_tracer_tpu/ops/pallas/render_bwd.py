@@ -50,7 +50,8 @@ from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
                             _cull_capacity, _culled_sphere_fold, _CULL_BUDGET,
                             _CHUNK, _culled_sphere_fold_ee, _hit_extents_pallas,
                             _shadow_visibility_lists, _shadow_list_capacity,
-                            _SH_BUDGET, _SHADOW_LISTS_AUTO, _any_hit_listed)
+                            _SH_BUDGET, _SMEM_TABLE_BUDGET, _SHADOW_LISTS_AUTO,
+                            _any_hit_listed)
 
 _DEN_EPS = 1e-6   # grazing-hit clamp for implicit-function t adjoints
 
@@ -1034,9 +1035,13 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     want_lists = ((_SHADOW_LISTS_AUTO and not interpret)
                   if shadow_lists is None else shadow_lists)
     sh_rows = n_u * n_v * nl
-    sh_k = _shadow_list_capacity(ns, sh_rows) if nl else 0
+    # Shadow tables get what the cull table leaves of the combined SMEM cap
+    # (same carve-out as the forward resolver).
+    sh_budget = min(_SH_BUDGET, _SMEM_TABLE_BUDGET -
+                    (n_u * n_v * vis_k if culled else 0))
+    sh_k = _shadow_list_capacity(ns, sh_rows, max(sh_budget, 1)) if nl else 0
     sh_listed = (want_lists and ns > _UNROLL_LIMIT and nl > 0
-                 and npl <= _UNROLL_LIMIT and sh_rows * sh_k <= _SH_BUDGET)
+                 and npl <= _UNROLL_LIMIT and sh_rows * sh_k <= sh_budget)
     if sh_listed:
         ext = _hit_extents_pallas(
             params, sph, pln, W=W, H=H, n_u=n_u, n_v=n_v, TW=TW, TH=TH,

@@ -1402,6 +1402,13 @@ def _cull_capacity(ns: int, n_tiles: int) -> int:
 
 
 _SH_BUDGET = 160_000  # SMEM entries for the per-(tile,light) shadow tables
+# The cull and shadow tables share the ~1 MB SMEM space with the params/scene
+# vectors; enforcing their budgets independently would admit a combined
+# footprint of 2 x 640 KB and fail Mosaic allocation on dense scenes over
+# large grids. The shadow tables are therefore carved out of what the cull
+# table leaves of this combined cap (~800 KB, leaving headroom for the
+# params/scene/sorted tables, which are O(ns) not O(tiles)).
+_SMEM_TABLE_BUDGET = 200_000
 # Default for shadow_lists=None: ON for rolled scenes, measured -4% (100-sphere
 # no-AA) to -11% (1000-sphere no-AA) on chip at level-0-only lists. Bounce
 # levels measured a clear LOSS (reflected hit points scatter, so bounce AABBs
@@ -1410,15 +1417,17 @@ _SH_BUDGET = 160_000  # SMEM entries for the per-(tile,light) shadow tables
 _SHADOW_LISTS_AUTO = True
 
 
-def _shadow_list_capacity(ns: int, n_rows: int) -> int:
+def _shadow_list_capacity(ns: int, n_rows: int,
+                          budget: int = _SH_BUDGET) -> int:
     """Slots per (tile, light) row for the two-pass shadow occluder lists.
 
     Same scale-with-density/step-down-under-budget policy as
     :func:`_cull_capacity` but with a 16-slot floor (shadow rows are ``nl``x
     more numerous than primary rows, and an overflowed row only costs that
-    row a full sweep)."""
+    row a full sweep). ``budget`` is what the cull table left of the combined
+    ``_SMEM_TABLE_BUDGET`` (capped at ``_SH_BUDGET``)."""
     k = min(ns, 32 if ns <= 256 else 64 if ns <= 2048 else 128)
-    while k > 16 and n_rows * k > _SH_BUDGET:
+    while k > 16 and n_rows * k > budget:
         k //= 2
     return k
 
@@ -1590,9 +1599,12 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
     sh_levels = 1 if shadow_list_levels is None else \
         max(1, min(depth + 1, shadow_list_levels))
     sh_rows = n_u * n_v * sh_levels * nl
-    sh_k = _shadow_list_capacity(ns, sh_rows) if nl else 0
+    # Shadow tables get what the cull table leaves of the combined SMEM cap.
+    sh_budget = min(_SH_BUDGET, _SMEM_TABLE_BUDGET -
+                    (n_u * n_v * vis_k if culled else 0))
+    sh_k = _shadow_list_capacity(ns, sh_rows, max(sh_budget, 1)) if nl else 0
     sh_listed = (want_lists and ns > _UNROLL_LIMIT and nl > 0
-                 and npl <= _UNROLL_LIMIT and sh_rows * sh_k <= _SH_BUDGET)
+                 and npl <= _UNROLL_LIMIT and sh_rows * sh_k <= sh_budget)
     if sh_listed:
         ext = _hit_extents_pallas(
             params, sph, pln, W=W, H=H, n_u=n_u, n_v=n_v, TW=TW, TH=TH,

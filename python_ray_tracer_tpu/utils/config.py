@@ -25,7 +25,10 @@ class RenderConfig:
     camera_euler: Tuple[float, float, float] = (0.0, -30.0, 0.0)
     # TPU-build knobs (no reference analogue):
     compat: bool = True            # reproduce reference quirks bit-for-bit
-    backend: str = "jnp"           # "jnp" (XLA-fused) or "pallas" (fused Mosaic kernel)
+    # "auto" resolves per device: the fused Mosaic kernels on a TPU, the
+    # XLA-fused jnp path elsewhere (Mosaic requires TPU hardware; interpret
+    # mode is a test facility, not a CPU backend). See resolve_backend.
+    backend: str = "auto"          # "auto" | "jnp" | "pallas"
     row_chunk: Optional[int] = None
     specular: float = 0.0          # Phong highlight (clean mode only)
     shininess: float = 32.0
@@ -34,3 +37,17 @@ class RenderConfig:
     def reference_defaults() -> "RenderConfig":
         """The reference driver's exact settings (main.py:10-12, 24)."""
         return RenderConfig()
+
+
+def resolve_backend(backend: str) -> str:
+    """Resolve ``"auto"`` to the fastest backend for the attached device.
+
+    On a TPU the quick-start path should hit the fused Pallas kernel (the
+    ~35x-faster forward); everywhere else the jnp/XLA path is the only one
+    that runs. Explicit choices pass through untouched.
+    """
+    if backend != "auto":
+        return backend
+    import jax
+
+    return "pallas" if jax.devices()[0].platform == "tpu" else "jnp"

@@ -39,11 +39,34 @@ def _native_dir() -> str | None:
 def _build(native_dir: str) -> str | None:
     so = os.path.join(native_dir, "build", "librt_native.so")
     src = os.path.join(native_dir, "png_writer.cpp")
-    if os.path.isfile(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+    makefile = os.path.join(native_dir, "Makefile")
+
+    def fresh() -> bool:
+        # Staleness covers the Makefile too: a flag change must rebuild.
+        try:
+            deps = [os.path.getmtime(src)]
+            if os.path.isfile(makefile):
+                deps.append(os.path.getmtime(makefile))
+            return os.path.isfile(so) and os.path.getmtime(so) >= max(deps)
+        except OSError:
+            return False
+
+    if fresh():
         return so
+    # Serialize concurrent builders (parallel pytest workers / processes):
+    # an exclusive flock around `make` prevents two `make` runs racing on the
+    # same output file; whoever waited re-checks freshness and skips.
     try:
-        subprocess.run(["make", "-C", native_dir, "-s"], check=True,
-                       capture_output=True, timeout=120)
+        os.makedirs(os.path.join(native_dir, "build"), exist_ok=True)
+        with open(os.path.join(native_dir, "build", ".lock"), "w") as lockf:
+            try:
+                import fcntl
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: fall back to unlocked build
+                pass
+            if not fresh():
+                subprocess.run(["make", "-C", native_dir, "-s"], check=True,
+                               capture_output=True, timeout=120)
     except (OSError, subprocess.SubprocessError):
         return None
     return so if os.path.isfile(so) else None
