@@ -113,7 +113,7 @@ def _fold_spheres_culled(ns, body, carry, cull):
 
 
 def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
-                   cheap_shadow=True, cull=None, sh_lists=None):
+                   cheap_shadow=True, cull=None, sh_lists=None, pre=None):
     """Forward trace storing every residual the reverse sweep needs.
 
     ``cull`` (primary trace only): per-tile compact visible-sphere list for the
@@ -127,6 +127,13 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
     provably misses every level-0 shadow ray of the tile (the prepass AABB
     bounds this kernel's own biased hit points bit-exactly). Bounce-level
     occlusion always sweeps all spheres (shadow rays scatter).
+
+    ``pre = dict(t=..., hit_obj=..., occs=[...])`` replays residuals this
+    trace already computed earlier in the same kernel (the fused-AA training
+    step's phase A): the closest-hit sweep, the plane closest-hit loop, and
+    the shadow-occlusion sweep — the per-object work — are all skipped, and
+    the trace reduces to elementwise shading recomputation. ``cull`` still
+    restricts the hit-ATTRIBUTE fold; ``sh_lists`` is unused under ``pre``.
     """
     ox, oy, oz = o
     dx, dy, dz = d
@@ -134,56 +141,59 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
     lamb = params[_P_LAMB]
 
     zeros = jnp.zeros(shape, jnp.float32)
-    # compat far clip enforced by the strict winner test via t-init at FAR
-    # (reference trace.py:17,26) — no per-object compare.
-    t = jnp.full(shape, FAR if compat else BIG, jnp.float32)
-    hit_obj = jnp.full(shape, -1.0, jnp.float32)  # index into [spheres++planes]
     a = dx * dx + dy * dy + dz * dz
-    # Hoisted like the forward kernel's _closest_hit (render_pallas.py) — and
-    # the `* inv2a` form must MATCH it bit-for-bit: the two-pass shadow-list
-    # prepass bounds shadow-ray origins with _primary_geometry's hit points,
-    # so this recompute has to land on the exact same roots (a near-tie winner
-    # flip would move a biased origin by ~2*BIAS, within the list builder's
-    # 1e-3 slack — but identical arithmetic removes the class entirely).
-    inv2a = 1.0 / (2.0 * a)
-    od = ox * dx + oy * dy + oz * dz
-    oo = ox * ox + oy * oy + oz * oz
+    if pre is not None:
+        t, hit_obj = pre["t"], pre["hit_obj"]
+    else:
+        # compat far clip enforced by the strict winner test via t-init at FAR
+        # (reference trace.py:17,26) — no per-object compare.
+        t = jnp.full(shape, FAR if compat else BIG, jnp.float32)
+        hit_obj = jnp.full(shape, -1.0, jnp.float32)  # index into [spheres++planes]
+        # Hoisted like the forward kernel's _closest_hit (render_pallas.py) — and
+        # the `* inv2a` form must MATCH it bit-for-bit: the two-pass shadow-list
+        # prepass bounds shadow-ray origins with _primary_geometry's hit points,
+        # so this recompute has to land on the exact same roots (a near-tie winner
+        # flip would move a biased origin by ~2*BIAS, within the list builder's
+        # 1e-3 slack — but identical arithmetic removes the class entirely).
+        inv2a = 1.0 / (2.0 * a)
+        od = ox * dx + oy * dy + oz * dz
+        oo = ox * ox + oy * oy + oz * oz
 
-    # --- closest hit, tracking the winning object index -----------------------
-    def _ch_body(j, carry, ok=None):
-        t, hit_obj = carry
-        cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
-        cd = cx * dx + cy * dy + cz * dz
-        oc = cx * ox + cy * oy + cz * oz
-        b = 2.0 * (od - cd)
-        c = oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
-        disc = b * b - 4.0 * a * c
-        has = disc >= 0.0
-        sq = jnp.sqrt(jnp.where(has, disc, 0.0))
-        num_near = -b - sq
-        num_far = -b + sq
-        t_j = jnp.where(num_near > 0.0, num_near, num_far) * inv2a
-        valid = has & (num_far > 0.0)  # far root >= near root always
-        if ok is not None:
-            valid = valid & ok
-        closer = valid & (t_j < t)
-        t = jnp.where(closer, t_j, t)
-        jf = jnp.float32(j) if isinstance(j, int) else j.astype(jnp.float32)
-        hit_obj = jnp.where(closer, jf, hit_obj)
-        return t, hit_obj
-    t, hit_obj = _fold_spheres_culled(ns, _ch_body, (t, hit_obj), cull)
-    for j in range(npl):
-        nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
-        den = dx * nx + dy * ny + dz * nz
-        den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
-        num = ((pln[0, j] - ox) * nx + (pln[1, j] - oy) * ny +
-               (pln[2, j] - oz) * nz)
-        t_j = num / den_safe
-        eps = 1e-3 if compat else 1e-8
-        valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
-        closer = valid & (t_j < t)
-        t = jnp.where(closer, t_j, t)
-        hit_obj = jnp.where(closer, jnp.float32(ns + j), hit_obj)
+        # --- closest hit, tracking the winning object index -------------------
+        def _ch_body(j, carry, ok=None):
+            t, hit_obj = carry
+            cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
+            cd = cx * dx + cy * dy + cz * dz
+            oc = cx * ox + cy * oy + cz * oz
+            b = 2.0 * (od - cd)
+            c = oo - 2.0 * oc + (cx * cx + cy * cy + cz * cz - r * r)
+            disc = b * b - 4.0 * a * c
+            has = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+            num_near = -b - sq
+            num_far = -b + sq
+            t_j = jnp.where(num_near > 0.0, num_near, num_far) * inv2a
+            valid = has & (num_far > 0.0)  # far root >= near root always
+            if ok is not None:
+                valid = valid & ok
+            closer = valid & (t_j < t)
+            t = jnp.where(closer, t_j, t)
+            jf = jnp.float32(j) if isinstance(j, int) else j.astype(jnp.float32)
+            hit_obj = jnp.where(closer, jf, hit_obj)
+            return t, hit_obj
+        t, hit_obj = _fold_spheres_culled(ns, _ch_body, (t, hit_obj), cull)
+        for j in range(npl):
+            nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
+            den = dx * nx + dy * ny + dz * nz
+            den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+            num = ((pln[0, j] - ox) * nx + (pln[1, j] - oy) * ny +
+                   (pln[2, j] - oz) * nz)
+            t_j = num / den_safe
+            eps = 1e-3 if compat else 1e-8
+            valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
+            closer = valid & (t_j < t)
+            t = jnp.where(closer, t_j, t)
+            hit_obj = jnp.where(closer, jnp.float32(ns + j), hit_obj)
 
     alive = hit_obj >= 0.0
     ts = jnp.where(alive, t, 0.0)
@@ -272,7 +282,9 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
         od_l.append(Pbx * Lx + Pby * Ly + Pbz * Lz)
     oo = Pbx * Pbx + Pby * Pby + Pbz * Pbz
     occs = [jnp.zeros(shape, jnp.float32) for _ in range(nl)]
-    if nl and sh_lists is not None:
+    if pre is not None:
+        occs = list(pre["occs"])
+    elif nl and sh_lists is not None:
         # Two-pass level-0 lists: THE SAME code object as the forward kernel's
         # listed sweep (list/sentinel sweep semantics must live once — the
         # _fold_spheres_culled rule). Its per-sphere arithmetic matches
@@ -363,7 +375,7 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
                n=(nx, ny, nz), Pb=(Pbx, Pby, Pbz), lights=light_res,
                lam_sum=lam_sum, albedo=(ar, ag, ab), shade=shade, ddn=ddn,
                w_refl=(wxr, wyr, wzr), rrn=rrn, R=(Rx, Ry, Rz),
-               spec_sum=spec_sum)
+               spec_sum=spec_sum, occs=occs)
     return (r_out, g_out, b_out), o_next, (Rx, Ry, Rz), alive, res
 
 
@@ -625,26 +637,41 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
     shape = (TW, TH)
     shape_w = (TW + 8, TH)   # +1 logical shared-sample row, padded to sublanes
     slots, n_grads = grad_layout(ns, npl, nl)
+    fused_aa = fused_loss and aliasing
     if fused_loss:
         # Fully-fused training step: the image block input is the TARGET, the
         # kernel forms the MSE cotangent from its own recomputed forward chain
-        # (already resident for the reverse sweep) and accumulates the loss
-        # partial sum((out-target)^2)/denom into one extra slot. No-AA only:
-        # the per-sample AA grid axis would need the 9-sample average before
-        # any cotangent exists (a cross-step barrier), and the shared-AA
-        # combine would keep all six chains' residuals live at once (spills
-        # scoped VMEM — the reason aa_share needs TW=24 already).
-        assert not aliasing, "fused_loss supports the no-AA layout only"
+        # and accumulates the loss partial sum((out-target)^2)/denom into one
+        # extra slot. The AA layout needs the 9-sample average before any
+        # cotangent exists, so the fused-AA form runs three phases per tile:
+        # (A) the six shared-sample chains forward, storing compact per-bounce
+        # residuals (raw t, hit_obj, occlusion masks — the outputs of every
+        # per-OBJECT sweep) into VMEM scratch while accumulating the stored
+        # tile combine; (B) loss/cotangent from the combine vs the target
+        # block; (C) the six reverse chains, replaying the stored residuals so
+        # the recompute is elementwise shading only. Keeping full residuals of
+        # all six chains live instead would spill scoped VMEM (the reason
+        # aa_share needs TW=24 already); t/hit_obj/occ per bounce is the
+        # minimal set that removes all per-object forward work from phase C.
+        assert not aliasing or aa_share, "fused AA requires the shared layout"
         slots = dict(slots, loss=n_grads)
         n_grads += 1
     per_sample = aliasing and not aa_share
+    n_kinds = 2 + nl         # phase-A residual kinds: t, hit_obj, occ[l]
     inv_denom = 1.0 / float(W * H * 3)   # GLOBAL mean denominator (slices sum)
 
     def kernel(params, sph, pln, lts, *rest):
         rest = list(rest)
         vis_cnt = (rest.pop(0), rest.pop(0)) if culled else None
         sh_tabs = (rest.pop(0), rest.pop(0)) if shadow_listed else None
+        res_ref = rest.pop() if fused_aa else None   # trailing VMEM scratch
         g_ref, out_ref = rest
+
+        def rres(chain_id, bounce, kind, shp):
+            """Phase-A residual slab view for (chain, bounce, kind), sliced to
+            the chain's shape (slabs are allocated at the widest chain)."""
+            k = (chain_id * (depth + 1) + bounce) * n_kinds + kind
+            return res_ref.at[k, 0:shp[0], 0:shp[1]]
         i = pl.program_id(0)
         j = pl.program_id(1)
         smp = pl.program_id(2) if per_sample else 0
@@ -706,12 +733,7 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
         R = params
         refl = params[_P_REFL]
 
-        def run_chain(px, py, gimg, shp, target=None):
-            """Recompute the forward bounce chain at fractional pixel coords
-            (px, py), then reverse-sweep it against the cotangent ``gimg`` —
-            or, with ``target`` (fused_loss mode), against the MSE cotangent
-            formed in-kernel from the chain's own forward combine."""
-            # --- forward chain with residuals ---------------------------------
+        def raygen(px, py, shp):
             pcx = params[_P_FOCAL]
             pcy = params[_P_Y0] + px * params[_P_DY]
             pcz = params[_P_Z0] + py * params[_P_DZ]
@@ -723,17 +745,64 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
             o0 = (jnp.full(shp, params[_P_ORIGIN + 0], jnp.float32),
                   jnp.full(shp, params[_P_ORIGIN + 1], jnp.float32),
                   jnp.full(shp, params[_P_ORIGIN + 2], jnp.float32))
+            return o0, d0, dn, (pcx, pcy, pcz)
 
-            traces = []
-            o_cur, d_cur = o0, d0
-            aliveprod = jnp.ones(shp, jnp.float32)  # prod of alive before i
+        def fwd_chain_store(px, py, shp, chain_id):
+            """Fused-AA phase A: one chain's forward combine, storing the raw
+            closest-hit/occlusion residuals per bounce so phase C's reverse
+            replay (``pre``) skips every per-object sweep. Everything except
+            (t, hit_obj, occs, rgb) is dead here and compiled away."""
+            o_cur, d_cur, _, _ = raygen(px, py, shp)
+            aliveprod = jnp.ones(shp, jnp.float32)
             weight = jnp.ones(shp, jnp.float32)
+            out = [jnp.zeros(shp, jnp.float32) for _ in range(3)]
             for bounce in range(depth + 1):
                 rgb, o_next, d_next, alive, res = _fwd_trace_res(
                     params, sph, ns, pln, npl, lts, nl, o_cur, d_cur,
                     compat=compat, shape=shp, cheap_shadow=cheap_shadow,
                     cull=cull if bounce == 0 else None,
                     sh_lists=sh_lists if bounce == 0 else None)
+                rres(chain_id, bounce, 0, shp)[...] = res["t"]
+                rres(chain_id, bounce, 1, shp)[...] = res["hit_obj"]
+                for l in range(nl):
+                    rres(chain_id, bounce, 2 + l, shp)[...] = res["occs"][l]
+                for c in range(3):
+                    out[c] = out[c] + weight * rgb[c]
+                aliveprod = aliveprod * res["alive_f"]
+                weight = aliveprod * (refl ** (bounce + 1))
+                o_cur, d_cur = o_next, d_next
+            return out
+
+        def run_chain(px, py, gimg, shp, target=None, chain_id=0,
+                      replay=False):
+            """Recompute the forward bounce chain at fractional pixel coords
+            (px, py), then reverse-sweep it against the cotangent ``gimg`` —
+            or, with ``target`` (fused_loss mode), against the MSE cotangent
+            formed in-kernel from the chain's own forward combine. With
+            ``replay`` (fused-AA phase C) the per-object sweep results come
+            from the phase-A scratch slabs instead of being recomputed."""
+            # --- forward chain with residuals ---------------------------------
+            o0, d0, dn, pc = raygen(px, py, shp)
+            pcx, pcy, pcz = pc
+
+            traces = []
+            o_cur, d_cur = o0, d0
+            aliveprod = jnp.ones(shp, jnp.float32)  # prod of alive before i
+            weight = jnp.ones(shp, jnp.float32)
+            for bounce in range(depth + 1):
+                pre = None
+                if replay:
+                    pre = dict(
+                        t=rres(chain_id, bounce, 0, shp)[...],
+                        hit_obj=rres(chain_id, bounce, 1, shp)[...],
+                        occs=[rres(chain_id, bounce, 2 + l, shp)[...]
+                              for l in range(nl)])
+                rgb, o_next, d_next, alive, res = _fwd_trace_res(
+                    params, sph, ns, pln, npl, lts, nl, o_cur, d_cur,
+                    compat=compat, shape=shp, cheap_shadow=cheap_shadow,
+                    cull=cull if bounce == 0 else None,
+                    sh_lists=(sh_lists if bounce == 0 and pre is None
+                              else None), pre=pre)
                 traces.append(dict(rgb=rgb, res=res, weight=weight,
                                    aliveprod=aliveprod, bounce=bounce))
                 aliveprod = aliveprod * res["alive_f"]
@@ -814,7 +883,7 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
             g1 = jnp.where(inb, g_ref[1], 0.0)
             g2 = jnp.where(inb, g_ref[2], 0.0)
 
-        if fused_loss:
+        if fused_loss and not aliasing:
             # g_ref holds the TARGET block (stored layout); the cotangent is
             # formed in-kernel. Pad memory is masked inside run_chain.
             run_chain(gx, gy, None, shape,
@@ -853,6 +922,58 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
             interior = ((gx >= 1.0) & (gx <= W - 2) & (gy >= 1.0) &
                         (gy <= H - 2))
             inv9 = jnp.float32(1.0 / 9.0)
+            suw = (fu - 0.5 + jax.lax.broadcasted_iota(
+                jnp.int32, shape_w, 0).astype(jnp.float32))
+            svw = fv + jax.lax.broadcasted_iota(
+                jnp.int32, shape_w, 1).astype(jnp.float32)
+
+            def chain(u, v, gimg, shp, chain_id=0, replay=False):
+                px, py = (u, v) if not swap_xy else (v, u)
+                run_chain(px, py, gimg, shp, chain_id=chain_id, replay=replay)
+
+            if fused_aa:
+                # Phase A: the six chains forward, residuals to scratch, AA
+                # combine accumulated. Chain positions/shapes MUST match the
+                # phase-C reverse calls below — the scratch slabs align by
+                # (chain_id, bounce). The neighbor sum mirrors the forward
+                # kernel's nsum (_make_kernel_aa_shared): a shared su-half
+                # sample at row k feeds pixel k (-0.5 side) and k-1 (+0.5).
+                def fchain(u, v, shp, chain_id):
+                    px, py = (u, v) if not swap_xy else (v, u)
+                    return fwd_chain_store(px, py, shp, chain_id)
+
+                C = fchain(su, sv, shape, 0)
+                UH = fchain(suw, svw, shape_w, 1)
+                VL = fchain(su, sv - 0.5, shape, 2)
+                VR = fchain(su, sv + 0.5, shape, 3)
+                UVL = fchain(suw, svw - 0.5, shape_w, 4)
+                UVR = fchain(suw, svw + 0.5, shape_w, 5)
+
+                def nsum(c):
+                    return (UH[c][0:TW] + UH[c][1:TW + 1] + VL[c] + VR[c] +
+                            UVL[c][0:TW] + UVL[c][1:TW + 1] +
+                            UVR[c][0:TW] + UVR[c][1:TW + 1])
+
+                pr, pg, pb = C
+                nr, ng, nb = nsum(0), nsum(1), nsum(2)
+                # Stored layout == the forward kernel's store: compat swaps
+                # G/B (accumulation swap composed with the store swap).
+                if compat:
+                    stored = (jnp.where(interior, (pr + nr) * inv9, pr),
+                              jnp.where(interior, (pb + ng) * inv9, pb),
+                              jnp.where(interior, (pg + nb) * inv9, pg))
+                else:
+                    stored = (jnp.where(interior, (pr + nr) * inv9, pr),
+                              jnp.where(interior, (pg + ng) * inv9, pg),
+                              jnp.where(interior, (pb + nb) * inv9, pb))
+                # Phase B: loss partial + cotangent vs the target block
+                # (g_ref). Pad lanes (inb) contribute nothing.
+                dt = [jnp.where(inb, stored[c] - g_ref[c], 0.0)
+                      for c in range(3)]
+                acc("loss", (dt[0] * dt[0] + dt[1] * dt[1] + dt[2] * dt[2])
+                    * jnp.float32(inv_denom))
+                g0, g1, g2 = (jnp.float32(2.0 * inv_denom) * dc for dc in dt)
+
             w_nb = jnp.where(interior, inv9, 0.0)
             w_c = jnp.where(interior, inv9, 1.0)
             if compat:
@@ -874,21 +995,14 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                         jnp.concatenate([z1, c, z7], axis=0))
 
             gsh = tuple(shared_cot(c) for c in gw)
-            suw = (fu - 0.5 + jax.lax.broadcasted_iota(
-                jnp.int32, shape_w, 0).astype(jnp.float32))
-            svw = fv + jax.lax.broadcasted_iota(
-                jnp.int32, shape_w, 1).astype(jnp.float32)
 
-            def chain(u, v, gimg, shp):
-                px, py = (u, v) if not swap_xy else (v, u)
-                run_chain(px, py, gimg, shp)
-
-            chain(su, sv, g_center, shape)                 # centers
-            chain(suw, svw, gsh, shape_w)                  # shared su-halves
-            chain(su, sv - 0.5, gw, shape)                 # lane-halves
-            chain(su, sv + 0.5, gw, shape)
-            chain(suw, svw - 0.5, gsh, shape_w)            # shared corners
-            chain(suw, svw + 0.5, gsh, shape_w)
+            # Phase C (or, two-pass, the whole backward): reverse sweeps.
+            chain(su, sv, g_center, shape, 0, fused_aa)    # centers
+            chain(suw, svw, gsh, shape_w, 1, fused_aa)     # shared su-halves
+            chain(su, sv - 0.5, gw, shape, 2, fused_aa)    # lane-halves
+            chain(su, sv + 0.5, gw, shape, 3, fused_aa)
+            chain(suw, svw - 0.5, gsh, shape_w, 4, fused_aa)  # shared corners
+            chain(suw, svw + 0.5, gsh, shape_w, 5, fused_aa)
 
         # --- reduce lane partials into the flat SMEM accumulator --------------
         per_slot = {}
@@ -934,7 +1048,7 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
 
 
 def loss_and_scene_grads_pallas(camera, scene, target, *, depth: int = 2,
-                                compat: bool = True,
+                                compat: bool = True, aliasing: bool = False,
                                 tile_w: int | None = None, tile_h: int = 128,
                                 interpret: bool = False,
                                 return_camera: bool = False,
@@ -942,13 +1056,19 @@ def loss_and_scene_grads_pallas(camera, scene, target, *, depth: int = 2,
                                 cull: bool = True, x_offset=0.0,
                                 local_width: int | None = None,
                                 shadow_lists: bool | None = None):
-    """Fully-fused no-AA training step: ONE kernel renders each tile's
-    forward chain, forms the MSE loss/cotangent against the ``target`` image
+    """Fully-fused training step: ONE kernel renders each tile's forward
+    chain, forms the MSE loss/cotangent against the ``target`` image
     in-registers, and reverse-sweeps — no separate forward render, no
     image/cotangent HBM round trip. Returns ``(loss_partial, scene_grads)``
     (+ camera grads with ``return_camera``); on a vertical slice the loss
     partial is ``sum(diff^2)/denom`` with the GLOBAL denominator, so shard
     partials psum to the full-image mean (train.pallas_value_and_grad_sharded).
+
+    With ``aliasing`` (the reference driver's default, main.py:12) the kernel
+    runs the shared-sample AA layout in three phases per tile — six forward
+    chains storing compact sweep residuals to VMEM scratch + AA combine, MSE
+    cotangent, six reverse chains replaying the residuals (see
+    ``_make_bwd_kernel``).
 
     The in-kernel forward combine factors shading as ``(amb + lamb*sum) *
     albedo`` where the render kernel accumulates per-light terms — equal in
@@ -957,11 +1077,11 @@ def loss_and_scene_grads_pallas(camera, scene, target, *, depth: int = 2,
     if cheap_shadow is None:
         cheap_shadow = _shadow_cheap_ok(scene, compat)
     if tile_w is None:
-        tile_w = 40
+        tile_w = 24 if aliasing else 40
     return _scene_grads_pallas(camera, scene, target, depth=depth,
                                compat=compat, tile_w=tile_w, tile_h=tile_h,
                                interpret=interpret, return_camera=return_camera,
-                               aliasing=False, aa_share=False,
+                               aliasing=aliasing, aa_share=aliasing,
                                cheap_shadow=cheap_shadow, cull=cull,
                                x_offset=x_offset, local_width=local_width,
                                shadow_lists=shadow_lists, fused_loss=True)
@@ -1082,12 +1202,20 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
         args += [sl_idx, sl_cnt]
     in_specs.append(g_spec)
     args.append(g_chw)
+    scratch = []
+    if fused_loss and aliasing:
+        # Phase-A residual slabs: (t, hit_obj, occ[l]) x (depth+1) bounces x
+        # 6 chains, allocated at the widest chain shape (TW+8, TH). Demo
+        # scene (nl=3, depth=2) at TW=24/TH=128: 90 slabs, ~1.4 MB VMEM.
+        scratch = [pltpu.VMEM(((2 + nl) * (depth + 1) * 6, TW + 8, TH),
+                              jnp.float32)]
     flat = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n_grads,), jnp.float32),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
 

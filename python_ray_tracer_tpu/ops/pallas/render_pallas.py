@@ -261,8 +261,116 @@ def _tile_visibility(camera, scene, *, n_u, n_v, TW, TH, swap_xy, x_offset,
     return order.reshape(-1), cnt
 
 
+_GROUP_SIZE = 32   # spheres per Morton group (grouped bounce sweeps)
+
+
+def _morton30(x, y, z):
+    """30-bit Morton code from 10-bit quantized coordinates (u32)."""
+    def spread(v):
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+    return spread(x) | (spread(y) << 1) | (spread(z) << 2)
+
+
+def _sphere_groups(centers, radii, group_size=None):
+    """Spatially-clustered sphere groups for the runtime grouped bounce sweep.
+
+    Morton-orders the sphere centers (10-bit quantization per axis over the
+    scene AABB) and chunks the order into ``G = ceil(ns / group_size)``
+    contiguous groups; returns ``(perm, bounds)``:
+
+    * ``perm``: flat ``(G * group_size,)`` i32 sweep order (ORIGINAL sphere
+      indices); pad slots past ``ns`` repeat index 0 and must be masked by the
+      consumer's in-range guard — same contract as ``_culled_sphere_fold``.
+    * ``bounds``: flat ``(G * 4,)`` f32 ``[cx, cy, cz, R]`` per group, with
+      ``R`` inflated (relative + absolute slack) so every member ball is
+      strictly inside: a ray — ANY origin and direction, which is what makes
+      this usable for scattered bounce rays where the primary cone cull is
+      unsound — that misses the group ball provably misses every member, so a
+      skipped group changes nothing (the exactness argument of
+      :func:`_grouped_sphere_fold`).
+
+    Pure jnp (runs under jit with a traced scene); group count is static.
+    """
+    if group_size is None:
+        group_size = _GROUP_SIZE
+    ns = centers.shape[0]
+    G = -(-ns // group_size)
+    npad = G * group_size
+    lo = jnp.min(centers, axis=0)
+    span = jnp.maximum(jnp.max(centers, axis=0) - lo, 1e-6)
+    q = jnp.clip(((centers - lo) / span * 1023.0), 0.0, 1023.0).astype(jnp.uint32)
+    code = _morton30(q[:, 0], q[:, 1], q[:, 2])
+    perm = jnp.argsort(code).astype(jnp.int32)                    # (ns,)
+    perm_pad = jnp.concatenate(
+        [perm, jnp.zeros((npad - ns,), jnp.int32)])               # (G*gs,)
+    c_s = centers[perm_pad].reshape(G, group_size, 3)
+    r_s = radii[perm_pad].reshape(G, group_size)
+    valid = (jnp.arange(npad) < ns).reshape(G, group_size)
+    w = valid.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+    gc = jnp.sum(c_s * w[..., None], axis=1) / cnt                # (G, 3)
+    dist = jnp.linalg.norm(c_s - gc[:, None, :], axis=-1) + r_s
+    R = jnp.max(jnp.where(valid, dist, 0.0), axis=1)              # (G,)
+    R = R * 1.001 + 1e-3          # conservative f32 slack (test is exact-free)
+    bounds = jnp.concatenate([gc, R[:, None]], axis=1).reshape(-1)
+    return perm_pad, bounds.astype(jnp.float32)
+
+
+def _grouped_sphere_fold(ns, body, refs, grp, ray):
+    """Fold ``body(j, carry, ok) -> carry`` over ALL spheres in Morton-group
+    order, skipping whole groups whose bounding ball provably misses every
+    lane's ray — the runtime cull for BOUNCE sweeps, where origins/directions
+    scatter and the host-side primary cone (:func:`_tile_visibility`) is
+    unsound.
+
+    ``refs``: VMEM scratch refs carrying the fold state (``pl.when`` bodies
+    cannot carry SSA values — the :func:`_any_hit_capsule` pattern). The
+    caller initializes them; on return they hold the folded state. ``grp =
+    (perm_ref, bnd_ref, G)`` (SMEM tables from :func:`_sphere_groups`);
+    ``ray = (ox, oy, oz, dx, dy, dz, a, od, oo)`` hoisted sweep terms.
+
+    Exactness: the group test is the root-form ray-ball test with NO far
+    clip (conservative vs any member validity rule, compat or clean — a
+    member hit at any positive t implies the enclosing ball is hit at some
+    positive t); sweep ORDER is the Morton permutation, which moves
+    exact-tie winners only (the documented near-tie class — ties between
+    distinct spheres at bit-equal t). Pad slots carry ``ok=False``.
+    """
+    perm_ref, bnd_ref, G = grp
+    ox, oy, oz, dx, dy, dz, a, od, oo = ray
+
+    def gbody(g, _):
+        b4 = 4 * g
+        gx, gy, gz, gr = (bnd_ref[b4], bnd_ref[b4 + 1], bnd_ref[b4 + 2],
+                          bnd_ref[b4 + 3])
+        cd = gx * dx + gy * dy + gz * dz
+        oc = gx * ox + gy * oy + gz * oz
+        c = oo - 2.0 * oc + (gx * gx + gy * gy + gz * gz - gr * gr)
+        b = 2.0 * (od - cd)
+        disc = b * b - 4.0 * a * c
+        may = (disc >= 0.0) & ((-b + jnp.sqrt(jnp.where(disc >= 0.0, disc,
+                                                        0.0))) > 0.0)
+
+        @pl.when(jnp.max(may.astype(jnp.float32)) > 0.5)
+        def _():
+            carry = tuple(r[...] for r in refs)
+            for q in range(_GROUP_SIZE):
+                flat = g * _GROUP_SIZE + q
+                j = perm_ref[flat]
+                carry = body(j, carry, flat < ns)
+            for r, v in zip(refs, carry):
+                r[...] = v
+        return 0
+
+    jax.lax.fori_loop(0, G, gbody, 0)
+
+
 def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape,
-                 cull=None):
+                 cull=None, grp=None, grp_refs=None):
     """Fused closest-hit over the SoA scene.
 
     Returns ``(t, ar, ag, ab, qx, qy, qz, is_plane)`` — ``q`` carries the hit
@@ -341,6 +449,16 @@ def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape,
         # _culled_sphere_fold (one copy for forward + backward).
         state = _culled_sphere_fold(
             ns, lambda j, s, ok: one_s(j, s, extra_valid=ok), state, cull)
+    elif grp is not None:
+        # Bounce sweeps on rolled scenes: Morton-grouped fold with a runtime
+        # whole-group ray-vs-ball skip (state via scratch — pl.when bodies
+        # cannot carry SSA; refs are sliced to this chain's shape).
+        for r, v in zip(grp_refs, state):
+            r[...] = v
+        _grouped_sphere_fold(
+            ns, lambda j, s, ok: one_s(j, s, extra_valid=ok), grp_refs, grp,
+            (ox, oy, oz, dx, dy, dz, a, od, oo))
+        state = tuple(r[...] for r in grp_refs)
     else:
         state = _fold_objects(ns, one_s, state)
     state = _fold_objects(npl, one_p, state)
@@ -687,17 +805,18 @@ def _any_hit_capsule(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, lx, ly, lz,
 
 
 def _primary_geometry(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat,
-                      shape, cull=None):
+                      shape, cull=None, grp=None, grp_refs=None):
     """Closest hit -> biased hit points + normals + hit albedo.
 
     Shared verbatim by :func:`_trace` and the two-pass shadow pipeline's hit
     AABB kernel (:func:`_hit_aabb_pallas`) — the AABB pass must produce the
     exact same biased hit points the shading pass will originate its level-0
     shadow rays from, or the per-(tile,light) occluder lists lose their
-    conservative-coverage guarantee."""
+    conservative-coverage guarantee (so when the render pass runs the grouped
+    bounce fold, the prepass must too — same ``grp`` tables, same order)."""
     t, ar, ag, ab, qx, qy, qz, is_pl = _closest_hit(
         sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, compat=compat, shape=shape,
-        cull=cull)
+        cull=cull, grp=grp, grp_refs=grp_refs)
     alive = t < (FAR if compat else BIG * 0.5)
     ts = jnp.where(alive, t, 0.0)
     Px, Py, Pz = ox + ts * dx, oy + ts * dy, oz + ts * dz
@@ -873,6 +992,17 @@ def _shadow_visibility_lists(ext, lights, centers, radii, *, nl, K, compat,
     b = 0.5 * (lo + hi)
     e = 0.5 * (hi - lo)
     hdiag = jnp.linalg.norm(e, axis=-1)                     # (T,)
+    # Scale-aware slack: the b/e/hdiag arithmetic above rounds at ~0.5 ULP of
+    # the coordinate MAGNITUDE, so a fixed absolute slack stops covering f32
+    # rounding once scene coordinates reach ~1e4 and the conservative-coverage
+    # proof would become merely probable. A few ULP of the largest
+    # participating coordinate keeps it proven at any scale (== the old 1e-3
+    # for scenes under ~500 units; demo scenes are ~10). Hitless rows carry
+    # +/-BIG AABB sentinels and MUST NOT feed the scale (they cull to count 0
+    # via `has` regardless).
+    coord = jnp.where(has[:, None], jnp.maximum(jnp.abs(lo), jnp.abs(hi)), 0.0)
+    scale = jnp.maximum(jnp.max(coord), jnp.max(jnp.abs(lights)))
+    slack = jnp.maximum(jnp.float32(1e-3), jnp.float32(2e-6) * scale)
     s = lights[None, :, :] - b[:, None, :]                  # (T, nl, 3)
     ss = jnp.maximum(jnp.sum(s * s, axis=-1), 1e-12)        # (T, nl)
     dlb = jnp.sqrt(ss)
@@ -886,13 +1016,13 @@ def _shadow_visibility_lists(ext, lights, centers, radii, *, nl, K, compat,
     ws = jnp.sum(w * s[:, :, None, :], axis=-1)             # (T, nl, ns)
     tt = jnp.clip(ws / ss[:, :, None], 0.0, 1.0)
     d2 = (jnp.sum(w * w, axis=-1) - 2.0 * tt * ws + tt * tt * ss[:, :, None])
-    reach = radii[None, None, :] + hdiag[:, None, None] + 1e-3
+    reach = radii[None, None, :] + hdiag[:, None, None] + slack
     near_seg = d2 <= reach * reach
 
     v = centers[None, None, :, :] - lights[None, :, None, :]  # (1, nl, ns, 3)
     proj = jnp.sum(v * u[:, :, None, :], axis=-1)             # (T, nl, ns)
     lat2 = jnp.maximum(jnp.sum(v * v, axis=-1) - proj * proj, 0.0)
-    allow = proj * slope[:, :, None] + (radii[None, None, :] + 1e-3) * \
+    allow = proj * slope[:, :, None] + (radii[None, None, :] + slack) * \
         rmink[:, :, None]
     in_cone = ((proj > -radii[None, None, :]) &
                (proj < extent + radii[None, None, :]) &
@@ -920,7 +1050,7 @@ def _shadow_visibility_lists(ext, lights, centers, radii, *, nl, K, compat,
 def _trace(params, sph, ns, pln, npl, lts, nl,
            ox, oy, oz, dx, dy, dz, *, compat, shape, cull=None,
            shadow_scratch=None, cheap_shadow=True, sph_sh=None,
-           sh_lists=None):
+           sh_lists=None, grp=None, grp_refs=None):
     """One shading evaluation == reference ``trace`` (trace.py:45-112), tile-wide.
 
     Returns ``(r, g, b, Px, Py, Pz, Rx, Ry, Rz, alive)``. ``cull`` (primary
@@ -928,12 +1058,15 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
     cone-visible list; ``shadow_scratch`` (a VMEM ref, rolled scenes) enables
     the runtime capsule cull for shadow sweeps; ``sh_lists`` (with this
     trace level's row base) routes shadow sweeps through the two-pass
-    per-(tile,level,light) occluder lists (:func:`_any_hit_listed`)."""
+    per-(tile,level,light) occluder lists (:func:`_any_hit_listed`); ``grp``
+    + ``grp_refs`` (BOUNCE traces on rolled scenes) route the closest-hit
+    sweep through the Morton-grouped runtime cull
+    (:func:`_grouped_sphere_fold`)."""
     amb = params[_P_AMB]
     lamb = params[_P_LAMB]
     alive, Px, Py, Pz, nx, ny, nz, ar, ag, ab = _primary_geometry(
         sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, compat=compat, shape=shape,
-        cull=cull)
+        cull=cull, grp=grp, grp_refs=grp_refs)
     r, g, b = amb * ar, amb * ag, amb * ab
 
     # Mirror reflection dir (hoisted above the light loop: clean-mode Phong
@@ -1023,14 +1156,20 @@ def _raygen(params, px, py):
 
 def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
                   shape, cull=None, shadow_scratch=None, cheap_shadow=True,
-                  sph_sh=None, bounce_scratch=None, sh_lists=None):
+                  sph_sh=None, bounce_scratch=None, sh_lists=None, grp=None,
+                  grp_refs=None):
     """Full sample evaluation: fractional pixel coords -> (r, g, b).
 
     Analytic ray generation + the unrolled bounce chain (value-flow form).
     ``cull`` applies to the primary trace only; ``sh_lists`` carries the
-    level-0 row base — bounce traces get their own level's row."""
+    level-0 row base — bounce traces get their own level's row; ``grp`` (+
+    state scratch ``grp_refs``, allocated at the widest chain shape and
+    sliced down) gates BOUNCE closest-hit sweeps by Morton group."""
     ox, oy, oz, dx, dy, dz = _raygen(params, px, py)
     refl = params[_P_REFL]
+    if grp_refs is not None:
+        grp_refs = [ref if ref.shape == shape
+                    else ref.at[0:shape[0], 0:shape[1]] for ref in grp_refs]
 
     def level_lists(level):
         if sh_lists is None:
@@ -1069,7 +1208,8 @@ def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
                     sPx[...], sPy[...], sPz[...],
                     sRx[...], sRy[...], sRz[...], compat=compat, shape=shape,
                     shadow_scratch=shadow_scratch, cheap_shadow=cheap_shadow,
-                    sph_sh=sph_sh, sh_lists=level_lists(bounce + 1))
+                    sph_sh=sph_sh, sh_lists=level_lists(bounce + 1),
+                    grp=grp, grp_refs=grp_refs)
                 racc[...] += w * r2
                 gacc[...] += w * g2
                 bacc[...] += w * b2
@@ -1084,7 +1224,7 @@ def _sample_chain(params, sph, ns, pln, npl, lts, nl, px, py, *, depth, compat,
             params, sph, ns, pln, npl, lts, nl, Px, Py, Pz, Rx, Ry, Rz,
             compat=compat, shape=shape, shadow_scratch=shadow_scratch,
             cheap_shadow=cheap_shadow, sph_sh=sph_sh,
-            sh_lists=level_lists(bounce + 1))
+            sh_lists=level_lists(bounce + 1), grp=grp, grp_refs=grp_refs)
         r, g, b = r + w * r2, g + w * g2, b + w * b2
         alive = alive & alive2
     return r, g, b
@@ -1094,7 +1234,7 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
                            swap_xy=False, culled=False, shadow_cull=False,
                            vis_k=0, cheap_shadow=True, shadow_sort=False,
                            predicate_bounces=False, shadow_listed=False,
-                           sh_k=0, sh_levels=1):
+                           sh_k=0, sh_levels=1, grouped=False, n_groups=0):
     """3x3-supersampled kernel with fully shared half-offset samples.
 
     The reference's AA samples are midpoints between adjacent pixel locations
@@ -1123,10 +1263,13 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
         sph_sh = rest.pop(0) if shadow_sort else None
         vis_cnt = (rest.pop(0), rest.pop(0)) if culled else None
         sh_tabs = (rest.pop(0), rest.pop(0)) if shadow_listed else None
+        grp_tabs = (rest.pop(0), rest.pop(0)) if grouped else None
         out_ref = rest.pop(0)
         shadow_ref = rest.pop(0) if shadow_cull else None
         bscratch = (tuple(rest.pop(0) for _ in range(11))
                     if (predicate_bounces and depth > 0) else None)
+        grp_refs = ([rest.pop(0) for _ in range(8)] if grouped else None)
+        grp = ((grp_tabs[0], grp_tabs[1], n_groups) if grouped else None)
         i = pl.program_id(0)
         j = pl.program_id(1)
         tile_id = i * pl.num_programs(1) + j
@@ -1156,7 +1299,8 @@ def _make_kernel_aa_shared(*, W, H, TW, TH, depth, ns, npl, nl, compat,
                                  depth=depth, compat=compat, shape=shp,
                                  cull=cull, shadow_scratch=shadow_ref,
                                  cheap_shadow=cheap_shadow, sph_sh=sph_sh,
-                                 bounce_scratch=bscratch, sh_lists=sh_lists)
+                                 bounce_scratch=bscratch, sh_lists=sh_lists,
+                                 grp=grp, grp_refs=grp_refs)
 
         C = chain(shape, 0.0, 0.0)
         UH = chain(shape_w, -0.5, 0.0)         # shared sublane-axis halves
@@ -1191,7 +1335,7 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                  predicate_bounces, swap_xy=False, culled=False,
                  shadow_cull=False, vis_k=0, cheap_shadow=True,
                  shadow_sort=False, shadow_listed=False, sh_k=0,
-                 sh_levels=1):
+                 sh_levels=1, grouped=False, n_groups=0):
     shape = (TW, TH)
 
     def kernel(params, sph, pln, lts, *rest):
@@ -1209,7 +1353,13 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                         sh_levels)
         else:
             sh_lists = None
+        grp_tabs = (rest.pop(0), rest.pop(0)) if grouped else None
         out_ref, *scratch = rest
+        if grouped:
+            grp_refs, scratch = scratch[-8:], scratch[:-8]
+            grp = (grp_tabs[0], grp_tabs[1], n_groups)
+        else:
+            grp_refs, grp = None, None
         if shadow_cull:
             shadow_ref, scratch = scratch[-1], scratch[:-1]
         else:
@@ -1286,7 +1436,8 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                         sPx[...], sPy[...], sPz[...],
                         sRx[...], sRy[...], sRz[...], compat=compat, shape=shape,
                         shadow_scratch=shadow_ref, cheap_shadow=cheap_shadow,
-                        sph_sh=sph_sh, sh_lists=level_lists(bounce + 1))
+                        sph_sh=sph_sh, sh_lists=level_lists(bounce + 1),
+                        grp=grp, grp_refs=grp_refs)
                     racc[...] += w * r2
                     gacc[...] += w * g2
                     bacc[...] += w * b2
@@ -1304,7 +1455,8 @@ def _make_kernel(*, W, H, TW, TH, S, depth, ns, npl, nl, compat, aliasing,
                     params, sph, ns, pln, npl, lts, nl, Px, Py, Pz, Rx, Ry, Rz,
                     compat=compat, shape=shape, shadow_scratch=shadow_ref,
                     cheap_shadow=cheap_shadow, sph_sh=sph_sh,
-                    sh_lists=level_lists(bounce + 1))
+                    sh_lists=level_lists(bounce + 1), grp=grp,
+                    grp_refs=grp_refs)
                 r, g, b = r + w * r2, g + w * g2, b + w * b2
                 alive = alive & alive2
 
@@ -1415,6 +1567,12 @@ _SMEM_TABLE_BUDGET = 200_000
 # cover everything and the prepass bounce chain is pure cost: 1000-sphere
 # no-AA 84 ms at levels=1 vs 132 ms at levels=3) — hence the levels=1 default.
 _SHADOW_LISTS_AUTO = True
+# Default for group_cull=None: Morton-grouped runtime skip for BOUNCE
+# closest-hit sweeps on rolled scenes. OFF until measured on chip (flip with
+# the measured numbers in this comment once benchmarks/large_scene.py has a
+# group-cull row). Auto would require depth > 0 (it only gates bounce
+# sweeps) and skip interpret mode like the shadow lists.
+_GROUP_CULL_AUTO = False
 
 
 def _shadow_list_capacity(ns: int, n_rows: int,
@@ -1486,7 +1644,8 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
                         shadow_cull: bool = False,
                         cheap_shadow: bool | None = None,
                         shadow_lists: bool | None = None,
-                        shadow_list_levels: int | None = None) -> jnp.ndarray:
+                        shadow_list_levels: int | None = None,
+                        group_cull: bool | None = None) -> jnp.ndarray:
     """Fused-kernel render -> float ``(w, h, 3)`` image, matching
     :func:`..render.render_image` output bit-for-bit up to f32 reassociation.
 
@@ -1520,7 +1679,8 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
         tile_w=tile_w, tile_h=tile_h, interpret=interpret, x_offset=x_offset,
         local_width=local_width, aa_share=aa_share, cull=cull,
         shadow_cull=shadow_cull, cheap_shadow=cheap_shadow,
-        shadow_lists=shadow_lists, shadow_list_levels=shadow_list_levels)
+        shadow_lists=shadow_lists, shadow_list_levels=shadow_list_levels,
+        group_cull=group_cull)
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "aliasing", "compat",
@@ -1528,7 +1688,8 @@ def render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
                                              "local_width", "aa_share", "cull",
                                              "shadow_cull", "cheap_shadow",
                                              "shadow_lists",
-                                             "shadow_list_levels"))
+                                             "shadow_list_levels",
+                                             "group_cull"))
 def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True,
                          compat: bool = True, tile_w: int = 40, tile_h: int = 128,
                          interpret: bool = False, x_offset=0.0,
@@ -1537,7 +1698,8 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
                          shadow_cull: bool = False,
                          cheap_shadow: bool = True,
                          shadow_lists: bool | None = None,
-                         shadow_list_levels: int | None = None) -> jnp.ndarray:
+                         shadow_list_levels: int | None = None,
+                         group_cull: bool | None = None) -> jnp.ndarray:
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
     S = len(AA_OFFSETS) if aliasing else 1
@@ -1619,6 +1781,23 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
             scene.spheres.radius.astype(jnp.float32),
             nl=nl, K=sh_k, compat=compat,
             to_sorted=jnp.argsort(order).astype(jnp.int32))
+    # Morton-grouped runtime cull for BOUNCE closest-hit sweeps (rolled
+    # scenes; the host-side cone is unsound for scattered bounce rays).
+    # sh_levels > 1 would need the grouped sweep order in the prepass's
+    # bounce levels too (bit-identical hit points are the lists' coverage
+    # contract) — the combination is excluded until bounce-level lists stop
+    # being a measured loss.
+    grouped = ((group_cull if group_cull is not None
+                else (_GROUP_CULL_AUTO and not interpret))
+               and ns > _UNROLL_LIMIT and depth > 0
+               and not (sh_listed and sh_levels > 1))
+    if grouped:
+        grp_perm, grp_bnd = _sphere_groups(
+            scene.spheres.center.astype(jnp.float32),
+            scene.spheres.radius.astype(jnp.float32))
+        n_groups = grp_perm.shape[0] // _GROUP_SIZE
+    else:
+        n_groups = 0
     if aliasing and aa_share:
         # Dead-tile bounce predication pays off when sweeps are expensive
         # (rolled scenes); small scenes measured faster without the scratch
@@ -1632,7 +1811,8 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
                                         shadow_sort=shadow_sort,
                                         predicate_bounces=aa_predicate,
                                         shadow_listed=sh_listed, sh_k=sh_k,
-                                        sh_levels=sh_levels)
+                                        sh_levels=sh_levels, grouped=grouped,
+                                        n_groups=n_groups)
         in_specs = [smem(), smem(), smem(), smem()]
         args = [params, sph, pln, lts]
         if shadow_sort:
@@ -1644,12 +1824,17 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
         if sh_listed:
             in_specs += [smem(), smem()]
             args += [sl_idx, sl_cnt]
+        if grouped:
+            in_specs += [smem(), smem()]
+            args += [grp_perm, grp_bnd]
         # shared-sample chains run up to (TW+8, TH+1); the shadow-cull and
         # bounce-predication scratch refs are allocated at the widest chain
         # shape and sliced down for narrower chains
         scratch = [pltpu.VMEM((TW + 8, TH + 1), jnp.float32)] if sh_cull else []
         if aa_predicate:
             scratch += [pltpu.VMEM((TW + 8, TH + 1), jnp.float32)] * 11
+        if grouped:
+            scratch += [pltpu.VMEM((TW + 8, TH + 1), jnp.float32)] * 8
         out = pl.pallas_call(
             kernel,
             grid=(n_u, n_v),
@@ -1668,7 +1853,8 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
                           culled=culled, shadow_cull=sh_cull, vis_k=vis_k,
                           cheap_shadow=cheap_shadow, shadow_sort=shadow_sort,
                           shadow_listed=sh_listed, sh_k=sh_k,
-                          sh_levels=sh_levels)
+                          sh_levels=sh_levels, grouped=grouped,
+                          n_groups=n_groups)
     grid = (n_u, n_v, S)
     in_specs = [smem(), smem(), smem(), smem()]
     args = [params, sph, pln, lts]
@@ -1681,9 +1867,14 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
     if sh_listed:
         in_specs += [smem(), smem()]
         args += [sl_idx, sl_cnt]
+    if grouped:
+        in_specs += [smem(), smem()]
+        args += [grp_perm, grp_bnd]
     scratch = ([pltpu.VMEM((TW, TH), jnp.float32)] * 11) if (depth > 0 and predicate_bounces) else []
     if sh_cull:
         scratch = scratch + [pltpu.VMEM((TW, TH), jnp.float32)]  # shadow cull
+    if grouped:
+        scratch = scratch + [pltpu.VMEM((TW, TH), jnp.float32)] * 8
     out = pl.pallas_call(
         kernel,
         grid=grid,

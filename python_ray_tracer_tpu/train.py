@@ -73,7 +73,8 @@ def _mask_grads(grads: Scene, trainable: Optional[Sequence[str]]) -> Scene:
 
 
 def pallas_value_and_grad(camera, target, *, depth: int = 2, compat: bool = True,
-                          aliasing: bool = False, cheap_shadow: bool = True):
+                          aliasing: bool = False, cheap_shadow: bool = True,
+                          fused: bool = True):
     """``scene -> (loss, grads)`` built from the fused forward + fused backward
     Mosaic kernels (ops/pallas) — the speed-of-light training path.
 
@@ -85,19 +86,24 @@ def pallas_value_and_grad(camera, target, *, depth: int = 2, compat: bool = True
     here — callers with a concrete scene should pass
     ``_shadow_cheap_ok(scene, compat)`` (fit_scene does); only compat scenes
     with sphere radii >= FAR/2 need the ``False`` root-form fallback.
+
+    ``fused=True`` (default) runs the fully-fused training step: ONE kernel
+    renders, forms the MSE cotangent in-registers, and reverse-sweeps (no
+    separate forward render, no image/cotangent HBM round trip) — measured
+    3.90 -> 2.84 ms per no-AA 1080p depth-2 step on v5e (100-sphere: 37.0 ->
+    24.2 ms); the AA form fuses the shared-sample chains the same way.
+    ``fused=False`` keeps the two-pass step (render + backward) for
+    comparison benchmarks.
     """
     from .ops.pallas.render_pallas import render_image_pallas
     from .ops.pallas.render_bwd import (scene_grads_pallas,
                                         loss_and_scene_grads_pallas)
 
-    if not aliasing:
-        # Fully-fused training step: ONE kernel renders, forms the MSE
-        # cotangent in-registers, and reverse-sweeps (no separate forward
-        # render, no image/cotangent HBM round trip) — measured 3.90 -> 2.84
-        # ms per 1080p depth-2 step on v5e (100-sphere: 37.0 -> 24.2 ms).
+    if fused:
         def value_and_grad(scene):
             return loss_and_scene_grads_pallas(camera, scene, target,
                                                depth=depth, compat=compat,
+                                               aliasing=aliasing,
                                                cheap_shadow=cheap_shadow)
         return value_and_grad
 
@@ -133,45 +139,26 @@ def pallas_value_and_grad_sharded(camera, mesh, *, depth: int = 2,
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
-    from .ops.pallas.render_pallas import render_image_pallas
-    from .ops.pallas.render_bwd import (scene_grads_pallas,
-                                        loss_and_scene_grads_pallas)
+    from .ops.pallas.render_bwd import loss_and_scene_grads_pallas
 
     W, H = camera.resolution
     n = mesh.shape[axis]
     assert W % n == 0, f"width {W} must divide over {n} shards"
     rows_per = W // n
-    denom = W * H * 3
 
     def shard_fn(scene, target):
         i = jax.lax.axis_index(axis)
         x0 = (i * rows_per).astype(jnp.float32)
-        if not aliasing:
-            # Fully-fused step per shard: the kernel's loss partial already
-            # carries the GLOBAL denominator, so the psum of shard partials
-            # IS the full-image MSE. Still exactly two collectives.
-            loss_part, grads = loss_and_scene_grads_pallas(
-                camera, scene, target, depth=depth, compat=compat,
-                cheap_shadow=cheap_shadow, x_offset=x0, local_width=rows_per,
-                interpret=pallas_interpret)
-            loss = jax.lax.psum(loss_part, axis)
-            grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis),
-                                           grads)
-            return loss, grads
-        img = render_image_pallas(camera, scene, depth=depth, aliasing=aliasing,
-                                  compat=compat, x_offset=x0,
-                                  local_width=rows_per,
-                                  cheap_shadow=cheap_shadow,
-                                  interpret=pallas_interpret)
-        diff = img - target
-        g_img = 2.0 * diff / denom
-        grads = scene_grads_pallas(camera, scene, g_img, depth=depth,
-                                   compat=compat, aliasing=aliasing,
-                                   cheap_shadow=cheap_shadow,
-                                   x_offset=x0, local_width=rows_per,
-                                   interpret=pallas_interpret)
-        loss = jax.lax.psum(jnp.sum(diff * diff), axis) / denom
-        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
+        # Fully-fused step per shard (AA or not): the kernel's loss partial
+        # already carries the GLOBAL denominator, so the psum of shard
+        # partials IS the full-image MSE. Exactly two collectives.
+        loss_part, grads = loss_and_scene_grads_pallas(
+            camera, scene, target, depth=depth, compat=compat,
+            aliasing=aliasing, cheap_shadow=cheap_shadow, x_offset=x0,
+            local_width=rows_per, interpret=pallas_interpret)
+        loss = jax.lax.psum(loss_part, axis)
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis),
+                                       grads)
         return loss, grads
 
     # check_vma=False: pallas_call outputs carry no vma annotation

@@ -313,7 +313,8 @@ def test_pallas_shadow_cull_exact(compat, aliasing):
 
 
 @pytest.mark.parametrize("compat,aliasing,depth,levels,quirk", [
-    (True, False, 1, None, False),   # lists at both trace levels; the fast
+    (True, False, 1, 2, False),      # levels=2: multi-level prepass (bounce
+    # chains in the AABB pass) + listed sweeps at BOTH trace levels; the fast
     # variant skips the third (planted-occluder-free) interpret trace — the
     # beyond-the-light quirk render re-runs in the slow variants
     # partial levels, shared-AA, and clean variants re-trace the interpret

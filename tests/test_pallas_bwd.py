@@ -778,6 +778,106 @@ def test_fused_loss_matches_two_pass(n_spheres, lists):
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("depth", [
+    0,
+    pytest.param(1, marks=pytest.mark.slow)])
+def test_fused_loss_aa_matches_two_pass(depth):
+    """Fused-AA training step == (AA render -> MSE -> AA backward) to
+    tolerance, incl. camera grads.
+
+    The fused-AA kernel runs three phases per tile (six forward chains
+    storing raw t/hit_obj/occlusion residuals to VMEM scratch + the stored
+    AA combine, in-kernel MSE cotangent, six reverse chains replaying the
+    residuals); the reference path is the AA render kernel + the two-pass
+    shared-AA backward. Same tolerance class as the no-AA fused test: the
+    in-kernel combine reassociates shading by ~1 ULP. depth=0 exercises all
+    three phases and the compat border/channel-swap combine cheaply; depth=1
+    (slow) adds the bounce-chain replay."""
+    from python_ray_tracer_tpu.ops.pallas.render_bwd import (
+        scene_grads_pallas, loss_and_scene_grads_pallas)
+    from python_ray_tracer_tpu.ops.pallas.render_pallas import \
+        render_image_pallas
+    lights = [[2.5, -2.0, 3.0]] if depth == 0 else \
+        [[2.5, -2.0, 3.0], [2.5, 2.0, 3.0]]
+    scene = rt.Scene(
+        rt.Spheres.build([([2.5, 0.5, 1.0], 0.8, rt.RED),
+                          ([1.5, -0.9, 0.5], 0.5, rt.BLUE)]),
+        rt.Planes.build([([5, 0, 0], [0, 0, 1], rt.GREY)]),
+        rt.Lights.build(lights),
+        rt.Materials.build())
+    W, H = (8, 8) if depth == 0 else (32, 16)
+    cam = rt.Camera.build((W, H), [-6.0, 0.0, 3.0], [0.0, -20.0, 0.0])
+    kw = dict(depth=depth, compat=True, tile_w=8, tile_h=8, interpret=True)
+    if depth == 0:
+        # Fast variant: oracle is jax.vjp of the jnp AA renderer (ONE pallas
+        # interpret trace instead of three — the two-pass reference is the
+        # dominant cost). Looser tolerance: different arithmetic entirely.
+        img, vjp_fn = jax.vjp(
+            lambda s: rt.render_image(cam, s, depth=0, aliasing=True,
+                                      compat=True), scene)
+        target = img * 0.9 + 1.0
+        diff = img - target
+        loss0 = jnp.mean(diff ** 2)
+        g_ref = vjp_fn(2.0 * diff / diff.size)[0]
+        loss1, g_ker = loss_and_scene_grads_pallas(cam, scene, target,
+                                                   aliasing=True, **kw)
+        np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_ker)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-3, atol=1e-6)
+        return
+    img = render_image_pallas(cam, scene, depth=depth, aliasing=True,
+                              compat=True, interpret=True, tile_w=8, tile_h=8)
+    target = img * 0.9 + 1.0
+    diff = img - target
+    loss0 = jnp.mean(diff ** 2)
+    kw["return_camera"] = True
+    g0 = scene_grads_pallas(cam, scene, 2.0 * diff / diff.size,
+                            aliasing=True, **kw)
+    loss1, *g1 = loss_and_scene_grads_pallas(cam, scene, target,
+                                             aliasing=True, **kw)
+    np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(tuple(g1))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fused_loss_aa_slices_sum():
+    """Fused-AA slices: shared half-offset samples straddle shard boundaries;
+    the per-slice loss partials (GLOBAL denominator) and gradients must sum
+    to the full-image values — the sharded AA training psum's invariant."""
+    from python_ray_tracer_tpu.ops.pallas.render_bwd import \
+        loss_and_scene_grads_pallas
+    from python_ray_tracer_tpu.ops.pallas.render_pallas import \
+        render_image_pallas
+    scene = rt.Scene(
+        rt.Spheres.build([([2.5, 0.5, 1.0], 0.8, rt.RED),
+                          ([1.5, -0.9, 0.5], 0.5, rt.BLUE)]),
+        rt.Planes.build([([5, 0, 0], [0, 0, 1], rt.GREY)]),
+        rt.Lights.build([[2.5, -2.0, 3.0]]),
+        rt.Materials.build())
+    cam = rt.Camera.build((16, 8), [-6.0, 0.0, 3.0], [0.0, -20.0, 0.0])
+    img = render_image_pallas(cam, scene, depth=0, aliasing=True, compat=True,
+                              interpret=True, tile_w=8, tile_h=8)
+    target = img * 0.9 + 1.0
+    kw = dict(depth=0, compat=True, aliasing=True, tile_w=8, tile_h=8,
+              interpret=True)
+    lf, gf = loss_and_scene_grads_pallas(cam, scene, target, **kw)
+    ll, gl = loss_and_scene_grads_pallas(cam, scene, target[:8],
+                                         x_offset=0.0, local_width=8, **kw)
+    lh, gh = loss_and_scene_grads_pallas(cam, scene, target[8:],
+                                         x_offset=8.0, local_width=8, **kw)
+    np.testing.assert_allclose(float(ll) + float(lh), float(lf), rtol=1e-5)
+    for a, b, c in zip(jax.tree_util.tree_leaves(gf),
+                       jax.tree_util.tree_leaves(gl),
+                       jax.tree_util.tree_leaves(gh)):
+        np.testing.assert_allclose(np.asarray(b) + np.asarray(c),
+                                   np.asarray(a), rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_fused_loss_sharded_slices_sum():
     """Fused-step slices: per-slice loss partials (GLOBAL denominator) sum to
