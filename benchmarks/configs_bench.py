@@ -100,16 +100,48 @@ def main() -> int:
     record(2, "depth-4 reflections + Phong specular (clean mode)", 1920, 1080,
            time_fn(f2, warmup=1, iters=100, best_of=3))
 
-    # -- config 3: inverse-render optimisation step (fused fwd+bwd) ----------
+    # -- config 3: inverse render at production scale (fused fwd+bwd fit) ----
+    # The ACTUAL fit, not just the inner-loop dispatch: recover perturbed
+    # sphere centers on the well-separated 2-sphere scene (cli.py fit --mode
+    # hard) at 512x512 with the fused pallas training step; record ms/step,
+    # the loss drop, and the final center error.
+    import numpy as np
     from python_ray_tracer_tpu import train
-    cam3 = rt.Camera.build((64, 64), [-2.0, 0.0, 2.0], [0.0, -30.0, 0.0])
-    target = render_image_pallas(cam3, demo, depth=1, aliasing=False,
+    fit_scene_obj = Scene(
+        Spheres.build([([2.5, 0.5, 1.0], 0.8, RED),
+                       ([1.5, -0.9, 0.5], 0.5, rt.BLUE)]),
+        Planes.build([([5, 0, 0], [0, 0, 1], GREY)]),
+        Lights.build([[2.5, -2.0, 3.0], [2.5, 2.0, 3.0]]),
+        Materials.build())
+    cam3 = rt.Camera.build((512, 512), [-2.0, 0.0, 2.0], [0.0, -30.0, 0.0])
+    target = render_image_pallas(cam3, fit_scene_obj, depth=1, aliasing=False,
                                  compat=True)
+    init3 = dataclasses.replace(
+        fit_scene_obj, spheres=dataclasses.replace(
+            fit_scene_obj.spheres,
+            center=fit_scene_obj.spheres.center
+            + jnp.asarray([0.2, -0.15, 0.1])))
+    fit_steps = 150
+    fitted, losses = train.fit_scene(init3, cam3, target, steps=fit_steps,
+                                     lr=1e-2, depth=1, backend="pallas",
+                                     trainable=("spheres.center",))
+    err0 = float(np.abs(np.asarray(init3.spheres.center)
+                        - np.asarray(fit_scene_obj.spheres.center)).max())
+    err1 = float(np.abs(np.asarray(fitted.spheres.center)
+                        - np.asarray(fit_scene_obj.spheres.center)).max())
+    # converged-at: first step under 1% of the initial loss
+    conv = next((i for i, l in enumerate(losses) if l < losses[0] * 0.01),
+                fit_steps)
     vg = jax.jit(train.pallas_value_and_grad(cam3, target, depth=1))
-    f3 = lambda: vg(demo)[0]
-    record(3, "inverse render: fused fwd+bwd step (64x64, depth 1)", 64, 64,
-           time_fn(f3, warmup=1, iters=200, best_of=3),
-           {"note": "pixel-grad descent inner loop; full fit flow = cli.py fit"})
+    f3 = lambda: vg(init3)[0]
+    record(3, "inverse render: fused fwd+bwd fit (512x512, depth 1)", 512, 512,
+           time_fn(f3, warmup=1, iters=100, best_of=3),
+           {"fit_steps": fit_steps,
+            "loss_drop": f"{losses[0]:.3e} -> {losses[-1]:.3e}",
+            "steps_to_1pct_loss": conv,
+            "center_err_max": f"{err0:.3f} -> {err1:.4f}",
+            "note": "ms/primary-Mrays columns time the fused train step; "
+                    "full fit flow = cli.py fit --mode hard"})
 
     # -- config 4: 100-sphere 4K 3x3-AA through the sharded path -------------
     big = rt.random_scene(jax.random.key(0), 100)

@@ -32,17 +32,19 @@ def main() -> int:
 
     scene = rt.random_scene(jax.random.key(0), args.spheres)
     rows = []
-    for label, wh, aliasing, cull in [
-        ("1080p_noAA", (1920, 1080), False, True),
-        ("1080p_AA", (1920, 1080), True, True),
-        ("1080p_AA_nocull", (1920, 1080), True, False),
-        ("4k_AA", (3840, 2160), True, True),
+    for label, wh, aliasing, cull, group in [
+        ("1080p_noAA", (1920, 1080), False, True, False),
+        ("1080p_noAA_group", (1920, 1080), False, True, True),
+        ("1080p_AA", (1920, 1080), True, True, False),
+        ("1080p_AA_group", (1920, 1080), True, True, True),
+        ("1080p_AA_nocull", (1920, 1080), True, False, False),
+        ("4k_AA", (3840, 2160), True, True, False),
     ]:
         w, h = wh
         camera = rt.Camera.build((w, h), [-12.0, 0.0, 4.0], [0.0, -15.0, 0.0])
         fn = lambda: render_image_pallas(camera, scene, depth=args.depth,
                                          aliasing=aliasing, compat=True,
-                                         cull=cull)
+                                         cull=cull, group_cull=group)
         iters = 20 if args.quick else 50
         try:
             secs = time_fn(fn, warmup=1, iters=iters, best_of=3)

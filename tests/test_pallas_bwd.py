@@ -100,7 +100,7 @@ def test_pallas_train_step_converges():
     """End-to-end: fused fwd+bwd kernels drive an adam fit (interpret mode)."""
     import python_ray_tracer_tpu.ops.pallas.render_pallas as rp
     import python_ray_tracer_tpu.ops.pallas.render_bwd as rb
-    cam = rt.default_camera((24, 24))
+    cam = rt.default_camera((16, 16))
     scene = rt.Scene(
         rt.Spheres.build([([2.5, 0.5, 1.0], 0.8, rt.RED),
                           ([1.5, -0.9, 0.5], 0.5, rt.BLUE)]),
@@ -124,13 +124,13 @@ def test_pallas_train_step_converges():
         init = dataclasses.replace(
             scene, spheres=dataclasses.replace(
                 scene.spheres, center=scene.spheres.center + 0.1))
-        fitted, losses = train.fit_scene(init, cam, target, steps=25, lr=5e-3,
+        fitted, losses = train.fit_scene(init, cam, target, steps=15, lr=5e-3,
                                          depth=1, backend="pallas",
                                          trainable=("spheres.center",))
     finally:
         rp.render_image_pallas, rb.scene_grads_pallas = orig_fwd, orig_bwd
         rb.loss_and_scene_grads_pallas = orig_fused
-    assert losses[-1] < losses[0] * 0.6, losses[::5]
+    assert losses[-1] < losses[0] * 0.75, losses[::5]
 
 
 @pytest.mark.slow
@@ -736,10 +736,12 @@ def test_bwd_shadow_lists_sharded_slices_sum():
 # --- fully-fused training step (in-kernel MSE loss + cotangent) --------------
 
 @pytest.mark.parametrize("n_spheres,lists", [
-    (2, False), (18, False),
-    # lists=True is the PRODUCTION on-chip combination for rolled scenes
-    # (shadow_lists auto-ON outside interpret mode): fused MSE cotangent
-    # formed from a forward chain whose occ masks come from the listed folds.
+    (2, False),
+    # the rolled-scene variant re-traces all three interpret programs with
+    # chunked folds (~45 s) — slow set, like the listed PRODUCTION combo
+    # (shadow_lists auto-ON outside interpret mode: fused MSE cotangent
+    # formed from a forward chain whose occ masks come from the listed folds)
+    pytest.param(18, False, marks=pytest.mark.slow),
     pytest.param(18, True, marks=pytest.mark.slow)])
 def test_fused_loss_matches_two_pass(n_spheres, lists):
     """loss_and_scene_grads_pallas == (render -> MSE -> scene_grads_pallas) to
@@ -760,14 +762,14 @@ def test_fused_loss_matches_two_pass(n_spheres, lists):
             rt.Materials.build())
     else:
         scene = rt.random_scene(jax.random.key(3), n_spheres=n_spheres)
-    W, H = 32, 16
+    W, H = (16, 8) if n_spheres == 2 else (32, 16)
     cam = rt.Camera.build((W, H), [-6.0, 0.0, 3.0], [0.0, -20.0, 0.0])
     img = render_image_pallas(cam, scene, depth=1, aliasing=False, compat=True,
                               interpret=True)
     target = img * 0.9 + 1.0
     diff = img - target
     loss0 = jnp.mean(diff ** 2)
-    kw = dict(depth=1, compat=True, tile_w=8, tile_h=16, interpret=True,
+    kw = dict(depth=1, compat=True, tile_w=8, tile_h=8, interpret=True,
               return_camera=True, shadow_lists=lists)
     g0 = scene_grads_pallas(cam, scene, 2.0 * diff / diff.size, **kw)
     loss1, *g1 = loss_and_scene_grads_pallas(cam, scene, target, **kw)

@@ -116,11 +116,11 @@ def test_soft_pallas_matches_jnp():
     reproduces the sorted cumprod, stable tie-break included)."""
     import numpy as np
     from python_ray_tracer_tpu.ops.pallas.soft_pallas import render_image_soft_pallas
-    cam = rt.default_camera((32, 32))
+    cam = rt.default_camera((24, 24))
     scene = rt.default_scene()
     ref = np.asarray(rt.render_image_soft(cam, scene, tau=0.05))
     out = np.asarray(render_image_soft_pallas(cam, scene, tau=0.05,
-                                              tile_w=8, tile_h=32,
+                                              tile_w=8, tile_h=24,
                                               interpret=True))
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
