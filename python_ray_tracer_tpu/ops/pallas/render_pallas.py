@@ -320,7 +320,7 @@ def _sphere_groups(centers, radii, group_size=None):
     return perm_pad, bounds.astype(jnp.float32)
 
 
-def _grouped_sphere_fold(ns, body, refs, grp, ray):
+def _grouped_sphere_fold(ns, body, refs, grp, ray, t_prune_ref=None):
     """Fold ``body(j, carry, ok) -> carry`` over ALL spheres in Morton-group
     order, skipping whole groups whose bounding ball provably misses every
     lane's ray — the runtime cull for BOUNCE sweeps, where origins/directions
@@ -339,9 +339,17 @@ def _grouped_sphere_fold(ns, body, refs, grp, ray):
     positive t); sweep ORDER is the Morton permutation, which moves
     exact-tie winners only (the documented near-tie class — ties between
     distinct spheres at bit-equal t). Pad slots carry ``ok=False``.
+
+    ``t_prune_ref``: optional scratch ref holding the fold's running
+    closest-hit ``t``. A member's hit t is >= the group ball's entry t
+    (member ball inside the group ball; entry clamped at 0 for
+    origin-inside lanes), and the winner test is STRICT ``t_j < t`` — so a
+    group whose ball entry is already >= every lane's current best provably
+    cannot change the fold and is skipped. On dense scenes this prunes the
+    groups behind the first hit found.
     """
     perm_ref, bnd_ref, G = grp
-    ox, oy, oz, dx, dy, dz, a, od, oo = ray
+    ox, oy, oz, dx, dy, dz, a, od, oo, inv2a = ray
 
     def gbody(g, _):
         b4 = 4 * g
@@ -352,8 +360,11 @@ def _grouped_sphere_fold(ns, body, refs, grp, ray):
         c = oo - 2.0 * oc + (gx * gx + gy * gy + gz * gz - gr * gr)
         b = 2.0 * (od - cd)
         disc = b * b - 4.0 * a * c
-        may = (disc >= 0.0) & ((-b + jnp.sqrt(jnp.where(disc >= 0.0, disc,
-                                                        0.0))) > 0.0)
+        sq = jnp.sqrt(jnp.where(disc >= 0.0, disc, 0.0))
+        may = (disc >= 0.0) & ((-b + sq) > 0.0)
+        if t_prune_ref is not None:
+            entry = jnp.maximum((-b - sq) * inv2a, 0.0)
+            may &= entry < t_prune_ref[...]
 
         @pl.when(jnp.max(may.astype(jnp.float32)) > 0.5)
         def _():
@@ -452,12 +463,14 @@ def _closest_hit(sph, ns, pln, npl, ox, oy, oz, dx, dy, dz, *, compat, shape,
     elif grp is not None:
         # Bounce sweeps on rolled scenes: Morton-grouped fold with a runtime
         # whole-group ray-vs-ball skip (state via scratch — pl.when bodies
-        # cannot carry SSA; refs are sliced to this chain's shape).
+        # cannot carry SSA; refs are sliced to this chain's shape). refs[0]
+        # is the running t — the fold prunes groups behind every lane's best.
         for r, v in zip(grp_refs, state):
             r[...] = v
         _grouped_sphere_fold(
             ns, lambda j, s, ok: one_s(j, s, extra_valid=ok), grp_refs, grp,
-            (ox, oy, oz, dx, dy, dz, a, od, oo))
+            (ox, oy, oz, dx, dy, dz, a, od, oo, inv2a),
+            t_prune_ref=grp_refs[0])
         state = tuple(r[...] for r in grp_refs)
     else:
         state = _fold_objects(ns, one_s, state)
@@ -607,6 +620,118 @@ def _any_hit_multi(sph, ns, pln, npl, ox, oy, oz, dirs, *, compat, shape,
                                            sph[3, j]), tuple(occs),
         done=_all_saturated)
     return list(occs)
+
+
+def _any_hit_multi_grouped(sph, ns, pln, npl, ox, oy, oz, dirs, grp, occ_refs,
+                           *, compat, shape, cheap=True):
+    """BOUNCE-level shadow occlusion over Morton groups with per-lane pruning.
+
+    Same origin-term hoisting across lights as :func:`_any_hit_multi`, but
+    the sphere axis runs in Morton-group order (``grp`` from
+    :func:`_sphere_groups`, ORIGINAL indices) and a whole group is swept only
+    when SOME lane (a) is not yet occluded for some light and (b) has that
+    light's shadow ray hitting the group ball at a positive t before the
+    compat range ends. Both prunes are conservative — occlusion accumulates
+    as an order-free max, so results are bit-identical to the full sweep:
+
+    * member inside the group ball => a member occlusion at t implies the
+      ball is hit at some positive entry t' <= t, and under the compat far
+      clip t < FAR implies entry < FAR;
+    * an occluded lane (occ >= 1) cannot change (max-accumulation).
+
+    Shadow rays aim AT a light, so few groups lie along them — the geometry
+    this cull exists for. State lives in ``occ_refs`` (pl.when bodies cannot
+    carry SSA values); combined with the saturation early exit in the
+    while_loop condition. Pad slots carry ``ok=False``.
+    """
+    nl = len(dirs)
+    perm_ref, bnd_ref, G = grp
+    refs = occ_refs[:nl]
+    oo = ox * ox + oy * oy + oz * oz
+    eps = 1e-3 if compat else 1e-8
+    a_l, inv2a_l, od_l = [], [], []
+    for (dx, dy, dz) in dirs:
+        a = dx * dx + dy * dy + dz * dz
+        a_l.append(a)
+        inv2a_l.append(1.0 / (2.0 * a))
+        od_l.append(ox * dx + oy * dy + oz * dz)
+    inva_l = [v + v for v in inv2a_l]
+
+    # Planes first (saturate early), SSA, then park in the scratch refs.
+    occs = [jnp.zeros(shape, jnp.float32) for _ in range(nl)]
+    for j in range(npl):
+        nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
+        pnum = ((pln[0, j] - ox) * nx + (pln[1, j] - oy) * ny +
+                (pln[2, j] - oz) * nz)
+        for l, (dx, dy, dz) in enumerate(dirs):
+            den = dx * nx + dy * ny + dz * nz
+            den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+            t_j = pnum / den_safe
+            valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
+            if compat:
+                valid &= t_j < FAR
+            occs[l] = jnp.maximum(occs[l], valid.astype(jnp.float32))
+    for rr, v in zip(refs, occs):
+        rr[...] = v
+
+    def loop_cond(k):
+        sat = jnp.min(refs[0][...]) > 0.5
+        for rr in refs[1:]:
+            sat &= jnp.min(rr[...]) > 0.5
+        return (k < G) & jnp.logical_not(sat)
+
+    def loop_body(k):
+        b4 = 4 * k
+        gx, gy, gz, gR = (bnd_ref[b4], bnd_ref[b4 + 1], bnd_ref[b4 + 2],
+                          bnd_ref[b4 + 3])
+        oc = gx * ox + gy * oy + gz * oz
+        cterm = oo - 2.0 * oc + (gx * gx + gy * gy + gz * gz - gR * gR)
+        may = None
+        for l, (dx, dy, dz) in enumerate(dirs):
+            cd = gx * dx + gy * dy + gz * dz
+            b = 2.0 * (od_l[l] - cd)
+            disc = b * b - 4.0 * a_l[l] * cterm
+            sq = jnp.sqrt(jnp.where(disc >= 0.0, disc, 0.0))
+            hit = (disc >= 0.0) & ((-b + sq) > 0.0)
+            if compat:
+                # entry <= any member's occluding t; t < FAR needed there
+                hit &= ((-b - sq) * inv2a_l[l]) < FAR
+            m = hit & (refs[l][...] < 0.5)
+            may = m if may is None else (may | m)
+
+        @pl.when(jnp.max(may.astype(jnp.float32)) > 0.5)
+        def _():
+            os_ = [rr[...] for rr in refs]
+            for q in range(_GROUP_SIZE):
+                flat = k * _GROUP_SIZE + q
+                j = perm_ref[flat]
+                ok = flat < ns
+                cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
+                ocj = cx * ox + cy * oy + cz * oz
+                c = oo - 2.0 * ocj + (cx * cx + cy * cy + cz * cz - r * r)
+                for l, (dx, dy, dz) in enumerate(dirs):
+                    cd = cx * dx + cy * dy + cz * dz
+                    if cheap:
+                        valid = _sphere_occ_cheap(c, cd - od_l[l], a_l[l],
+                                                  inva_l[l], compat)
+                    else:
+                        bj = 2.0 * (od_l[l] - cd)
+                        dj = bj * bj - 4.0 * a_l[l] * c
+                        has = dj >= 0.0
+                        sqj = jnp.sqrt(jnp.where(has, dj, 0.0))
+                        nn, nf = -bj - sqj, -bj + sqj
+                        t_j = jnp.where(nn > 0.0, nn, nf) * inv2a_l[l]
+                        valid = has & (nf > 0.0)
+                        if compat:
+                            valid &= t_j < FAR
+                    valid &= ok
+                    os_[l] = jnp.maximum(os_[l], valid.astype(jnp.float32))
+            for rr, v in zip(refs, os_):
+                rr[...] = v
+        return k + 1
+
+    jax.lax.while_loop(loop_cond, loop_body, jnp.int32(0))
+    return [rr[...] for rr in refs]
 
 
 def _any_hit_listed(sph, ns, pln, npl, ox, oy, oz, dirs, lists, *, compat,
@@ -1091,6 +1216,14 @@ def _trace(params, sph, ns, pln, npl, lts, nl,
             occs = _any_hit_listed(ssph, ns, pln, npl, Px, Py, Pz, dirs,
                                    sh_lists, compat=compat, shape=shape,
                                    cheap=cheap_shadow)
+        elif grp is not None and npl <= _UNROLL_LIMIT and nl <= 8:
+            # Bounce levels with Morton groups: per-lane (ball-hit AND
+            # not-yet-occluded) pruning — ORIGINAL index table (perm indexes
+            # it); occlusion is order-free so the sorted table buys nothing
+            # here. Reuses the closest-hit fold's state refs (done by now).
+            occs = _any_hit_multi_grouped(sph, ns, pln, npl, Px, Py, Pz, dirs,
+                                          grp, grp_refs, compat=compat,
+                                          shape=shape, cheap=cheap_shadow)
         elif npl <= _UNROLL_LIMIT and (shadow_scratch is None or
                                        ns <= _UNROLL_LIMIT):
             occs = _any_hit_multi(ssph, ns, pln, npl, Px, Py, Pz, dirs,
