@@ -77,7 +77,14 @@ def main() -> int:
             return jax.lax.psum(x, "rays")
 
         x = jnp.arange(n_grads + 1, dtype=jnp.float32)
-        secs = time_fn(lambda: allreduce(x), warmup=1, iters=args.iters,
+        # Virtual meshes emulate every device as a host thread; with more
+        # device-threads than cores a long queued-dispatch train can trip
+        # XLA's 20 s collective-rendezvous watchdog (observed at n=16 on 4
+        # cores) — cap the in-flight work as n outgrows the host.
+        iters = args.iters
+        if args.virtual and n > os.cpu_count():
+            iters = max(10, args.iters * os.cpu_count() // (2 * n))
+        secs = time_fn(lambda: allreduce(x), warmup=1, iters=iters,
                        best_of=3)
         # analytic ring all-reduce on ICI at this payload
         t_ici = (2.0 * (n - 1) / max(n, 1) * payload_bytes / ICI_BW +

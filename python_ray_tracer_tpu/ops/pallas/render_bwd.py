@@ -51,7 +51,9 @@ from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
                             _CHUNK, _culled_sphere_fold_ee, _hit_extents_pallas,
                             _shadow_visibility_lists, _shadow_list_capacity,
                             _SH_BUDGET, _SMEM_TABLE_BUDGET, _SHADOW_LISTS_AUTO,
-                            _any_hit_listed)
+                            _any_hit_listed, _grouped_sphere_fold,
+                            _any_hit_multi_grouped, _sphere_groups,
+                            _GROUP_SIZE, _GROUP_CULL_AUTO, _GROUP_MIN_NS)
 
 _DEN_EPS = 1e-6   # grazing-hit clamp for implicit-function t adjoints
 
@@ -113,7 +115,8 @@ def _fold_spheres_culled(ns, body, carry, cull):
 
 
 def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
-                   cheap_shadow=True, cull=None, sh_lists=None, pre=None):
+                   cheap_shadow=True, cull=None, sh_lists=None, pre=None,
+                   grp=None, grp_refs=None):
     """Forward trace storing every residual the reverse sweep needs.
 
     ``cull`` (primary trace only): per-tile compact visible-sphere list for the
@@ -134,6 +137,13 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
     the shadow-occlusion sweep — the per-object work — are all skipped, and
     the trace reduces to elementwise shading recomputation. ``cull`` still
     restricts the hit-ATTRIBUTE fold; ``sh_lists`` is unused under ``pre``.
+
+    ``grp``/``grp_refs`` (BOUNCE traces on rolled scenes): the closest-hit,
+    hit-attribute, and shadow-occlusion sphere folds run Morton-grouped with
+    runtime whole-group skips (render_pallas._grouped_sphere_fold /
+    _any_hit_multi_grouped — same conservative ball/entry/saturation prunes
+    as the forward kernel, so masks and sums are bit-identical to the full
+    folds). ``grp_refs``: >= 8 scratch refs sliced to ``shape``.
     """
     ox, oy, oz = o
     dx, dy, dz = d
@@ -181,7 +191,19 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
             jf = jnp.float32(j) if isinstance(j, int) else j.astype(jnp.float32)
             hit_obj = jnp.where(closer, jf, hit_obj)
             return t, hit_obj
-        t, hit_obj = _fold_spheres_culled(ns, _ch_body, (t, hit_obj), cull)
+        if grp is not None and cull is None:
+            # Bounce closest hit: Morton-grouped with the strict t-prune
+            # (same fold + semantics as the forward kernel's grouped path).
+            grp_refs[0][...] = t
+            grp_refs[1][...] = hit_obj
+            _grouped_sphere_fold(
+                ns, _ch_body, grp_refs[0:2], grp,
+                (ox, oy, oz, dx, dy, dz, a, od, oo, inv2a),
+                t_prune_ref=grp_refs[0])
+            t, hit_obj = grp_refs[0][...], grp_refs[1][...]
+        else:
+            t, hit_obj = _fold_spheres_culled(ns, _ch_body, (t, hit_obj),
+                                              cull)
         for j in range(npl):
             nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
             den = dx * nx + dy * ny + dz * nz
@@ -219,8 +241,24 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
         qy += m * sph[1, j]
         qz += m * sph[2, j]
         return ar, ag, ab, qx, qy, qz
-    ar, ag, ab, qx, qy, qz = _fold_spheres_culled(
-        ns, _attr_body, (ar, ag, ab, qx, qy, qz), cull)
+    if grp is not None and cull is None:
+        # Grouped attr fold: keep condition entry <= t (non-strict — the
+        # winning member satisfies it; a skipped group provably holds no
+        # lane's winner). Prune bound is ts: 0 on dead lanes, so their
+        # groups all skip — nothing accumulates there anyway.
+        g_od = ox * dx + oy * dy + oz * dz
+        g_oo = ox * ox + oy * oy + oz * oz
+        g_inv2a = 1.0 / (2.0 * a)
+        for r_, v_ in zip(grp_refs[0:6], (ar, ag, ab, qx, qy, qz)):
+            r_[...] = v_
+        grp_refs[6][...] = ts
+        _grouped_sphere_fold(ns, _attr_body, grp_refs[0:6], grp,
+                             (ox, oy, oz, dx, dy, dz, a, g_od, g_oo, g_inv2a),
+                             t_prune_ref=grp_refs[6], t_prune_strict=False)
+        ar, ag, ab, qx, qy, qz = (r_[...] for r_ in grp_refs[0:6])
+    else:
+        ar, ag, ab, qx, qy, qz = _fold_spheres_culled(
+            ns, _attr_body, (ar, ag, ab, qx, qy, qz), cull)
     for j in range(npl):
         m = (hit_obj == ns + j).astype(jnp.float32)
         ar += m * pln[6, j]
@@ -284,6 +322,13 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
     occs = [jnp.zeros(shape, jnp.float32) for _ in range(nl)]
     if pre is not None:
         occs = list(pre["occs"])
+    elif nl and grp is not None:
+        # Grouped bounce shadow sweep — per-member arithmetic matches
+        # _occ_body expression-for-expression and occlusion is an order-free
+        # max, so the masks are bit-identical to the full fold's.
+        occs = _any_hit_multi_grouped(sph, ns, pln, npl, Pbx, Pby, Pbz, dirs,
+                                      grp, grp_refs, compat=compat,
+                                      shape=shape, cheap=cheap_shadow)
     elif nl and sh_lists is not None:
         # Two-pass level-0 lists: THE SAME code object as the forward kernel's
         # listed sweep (list/sentinel sweep semantics must live once — the
@@ -380,7 +425,8 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
 
 
 def _bwd_trace(params, sph, ns, pln, npl, lts, nl, res, gbar, obar_next,
-               dbar_next, acc, acc_sph, *, compat, cull=None):
+               dbar_next, acc, acc_sph, *, compat, cull=None, grp=None,
+               grp_refs=None):
     """Reverse sweep of one trace.
 
     ``gbar``: (gr, gg, gb) cotangent on this trace's rgb output.
@@ -560,8 +606,26 @@ def _bwd_trace(params, sph, ns, pln, npl, lts, nl, res, gbar, obar_next,
         acc_sph(j, 6, m * abar[2])
         return obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z
 
-    obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z = _fold_spheres_culled(
-        ns, _sph_bwd, (obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z), cull)
+    if grp is not None and cull is None:
+        # Grouped adjoint fold (bounce traces): every term _sph_bwd
+        # accumulates is masked by ``hit_obj == j [& alive]``, so a group
+        # containing no lane's winner contributes exact zeros — skip it by
+        # the same ball test with the non-strict entry <= t keep condition
+        # (t is 0 on dead lanes: their groups all skip, correctly).
+        g_inv2a = 1.0 / (2.0 * a)
+        for r_, v_ in zip(grp_refs[0:6], (obar_x, obar_y, obar_z,
+                                          dbar_x, dbar_y, dbar_z)):
+            r_[...] = v_
+        grp_refs[6][...] = t
+        _grouped_sphere_fold(ns, _sph_bwd, grp_refs[0:6], grp,
+                             (ox, oy, oz, dx, dy, dz, a, od, oo, g_inv2a),
+                             t_prune_ref=grp_refs[6], t_prune_strict=False)
+        obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z = \
+            (r_[...] for r_ in grp_refs[0:6])
+    else:
+        obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z = _fold_spheres_culled(
+            ns, _sph_bwd, (obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z),
+            cull)
     for j in range(npl):
         m = ((hit_obj == ns + j) & res["alive"]).astype(jnp.float32)
         mt = m * tbar
@@ -630,7 +694,8 @@ def grad_layout(ns, npl, nl):
 def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                      swap_xy=False, aliasing=False, aa_share=False,
                      cheap_shadow=True, culled=False, vis_k=0,
-                     shadow_listed=False, sh_k=0, fused_loss=False):
+                     shadow_listed=False, sh_k=0, fused_loss=False,
+                     grouped=False, n_groups=0):
     # W, H: full-image extent (AA border semantics are global). U, V: the
     # local swap-resolved grid extent — W of this shard's slice, not the
     # image, when rendering a vertical slice (ray-DP sharding).
@@ -664,8 +729,16 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
         rest = list(rest)
         vis_cnt = (rest.pop(0), rest.pop(0)) if culled else None
         sh_tabs = (rest.pop(0), rest.pop(0)) if shadow_listed else None
-        res_ref = rest.pop() if fused_aa else None   # trailing VMEM scratch
+        grp_tabs = (rest.pop(0), rest.pop(0)) if grouped else None
+        gstate_ref = rest.pop() if grouped else None  # trailing VMEM scratch
+        res_ref = rest.pop() if fused_aa else None
         g_ref, out_ref = rest
+        grp = (grp_tabs[0], grp_tabs[1], n_groups) if grouped else None
+
+        def grefs_for(shp):
+            if not grouped:
+                return None
+            return [gstate_ref.at[i, 0:shp[0], 0:shp[1]] for i in range(8)]
 
         def rres(chain_id, bounce, kind, shp):
             """Phase-A residual slab view for (chain, bounce, kind), sliced to
@@ -753,6 +826,7 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
             replay (``pre``) skips every per-object sweep. Everything except
             (t, hit_obj, occs, rgb) is dead here and compiled away."""
             o_cur, d_cur, _, _ = raygen(px, py, shp)
+            gr_v = grefs_for(shp)
             aliveprod = jnp.ones(shp, jnp.float32)
             weight = jnp.ones(shp, jnp.float32)
             out = [jnp.zeros(shp, jnp.float32) for _ in range(3)]
@@ -761,7 +835,8 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                     params, sph, ns, pln, npl, lts, nl, o_cur, d_cur,
                     compat=compat, shape=shp, cheap_shadow=cheap_shadow,
                     cull=cull if bounce == 0 else None,
-                    sh_lists=sh_lists if bounce == 0 else None)
+                    sh_lists=sh_lists if bounce == 0 else None,
+                    grp=grp if bounce > 0 else None, grp_refs=gr_v)
                 rres(chain_id, bounce, 0, shp)[...] = res["t"]
                 rres(chain_id, bounce, 1, shp)[...] = res["hit_obj"]
                 for l in range(nl):
@@ -784,6 +859,7 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
             # --- forward chain with residuals ---------------------------------
             o0, d0, dn, pc = raygen(px, py, shp)
             pcx, pcy, pcz = pc
+            gr_v = grefs_for(shp)
 
             traces = []
             o_cur, d_cur = o0, d0
@@ -802,7 +878,8 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                     compat=compat, shape=shp, cheap_shadow=cheap_shadow,
                     cull=cull if bounce == 0 else None,
                     sh_lists=(sh_lists if bounce == 0 and pre is None
-                              else None), pre=pre)
+                              else None), pre=pre,
+                    grp=grp if bounce > 0 else None, grp_refs=gr_v)
                 traces.append(dict(rgb=rgb, res=res, weight=weight,
                                    aliveprod=aliveprod, bounce=bounce))
                 aliveprod = aliveprod * res["alive_f"]
@@ -851,7 +928,9 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                 obar, dbar = _bwd_trace(params, sph, ns, pln, npl, lts, nl,
                                         tr["res"], gbar, obar, dbar, acc,
                                         acc_sph, compat=compat,
-                                        cull=cull if tr["bounce"] == 0 else None)
+                                        cull=cull if tr["bounce"] == 0 else None,
+                                        grp=grp if tr["bounce"] > 0 else None,
+                                        grp_refs=gr_v)
             # --- camera adjoints from the primary trace's (obar, dbar) --------
             # position: origin is broadcast, so its cotangent is the lane sum.
             acc(("cam_pos", 0), obar[0])
@@ -1024,7 +1103,8 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                        aliasing: bool = False, aa_share: bool | None = None,
                        cheap_shadow: bool | None = None, cull: bool = True,
                        x_offset=0.0, local_width: int | None = None,
-                       shadow_lists: bool | None = None):
+                       shadow_lists: bool | None = None,
+                       group_cull: bool | None = None):
     """Fused backward (see _scene_grads_pallas). This un-jitted wrapper
     resolves the sqrt-free shadow-sweep guard while the scene is concrete and
     the measured-best tile/sharing defaults: AA cotangents run as shared
@@ -1044,7 +1124,8 @@ def scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                                aliasing=aliasing, aa_share=aa_share,
                                cheap_shadow=cheap_shadow, cull=cull,
                                x_offset=x_offset, local_width=local_width,
-                               shadow_lists=shadow_lists)
+                               shadow_lists=shadow_lists,
+                               group_cull=group_cull)
 
 
 def loss_and_scene_grads_pallas(camera, scene, target, *, depth: int = 2,
@@ -1055,7 +1136,8 @@ def loss_and_scene_grads_pallas(camera, scene, target, *, depth: int = 2,
                                 cheap_shadow: bool | None = None,
                                 cull: bool = True, x_offset=0.0,
                                 local_width: int | None = None,
-                                shadow_lists: bool | None = None):
+                                shadow_lists: bool | None = None,
+                                group_cull: bool | None = None):
     """Fully-fused training step: ONE kernel renders each tile's forward
     chain, forms the MSE loss/cotangent against the ``target`` image
     in-registers, and reverse-sweeps — no separate forward render, no
@@ -1084,7 +1166,8 @@ def loss_and_scene_grads_pallas(camera, scene, target, *, depth: int = 2,
                                aliasing=aliasing, aa_share=aliasing,
                                cheap_shadow=cheap_shadow, cull=cull,
                                x_offset=x_offset, local_width=local_width,
-                               shadow_lists=shadow_lists, fused_loss=True)
+                               shadow_lists=shadow_lists, fused_loss=True,
+                               group_cull=group_cull)
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "compat", "tile_w",
@@ -1092,7 +1175,8 @@ def loss_and_scene_grads_pallas(camera, scene, target, *, depth: int = 2,
                                              "return_camera", "aliasing",
                                              "aa_share", "cheap_shadow",
                                              "cull", "local_width",
-                                             "shadow_lists", "fused_loss"))
+                                             "shadow_lists", "fused_loss",
+                                             "group_cull"))
 def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                         compat: bool = True, tile_w: int = 40, tile_h: int = 128,
                         interpret: bool = False, return_camera: bool = False,
@@ -1100,7 +1184,8 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                         cheap_shadow: bool = True, cull: bool = True,
                         x_offset=0.0, local_width: int | None = None,
                         shadow_lists: bool | None = None,
-                        fused_loss: bool = False):
+                        fused_loss: bool = False,
+                        group_cull: bool | None = None):
     """Fused backward: cotangent image ``(w, h, 3)`` -> scene-gradient pytree.
 
     Matches ``jax.vjp`` of the jnp path. With ``return_camera=True`` also
@@ -1173,6 +1258,22 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
             scene.spheres.center.astype(jnp.float32),
             scene.spheres.radius.astype(jnp.float32),
             nl=nl, K=sh_k, compat=compat, to_sorted=None)
+    # Morton-grouped runtime cull for the bounce folds (closest-hit recompute,
+    # attr, occlusion, and reverse adjoints) — mirrors the forward kernel's
+    # resolver; nl <= 8 because the grouped shadow sweep parks one occ mask
+    # per light in the 8 state slabs.
+    grouped = ((group_cull if group_cull is not None
+                else (_GROUP_CULL_AUTO and not interpret
+                      and ns >= _GROUP_MIN_NS))
+               and ns > _UNROLL_LIMIT and depth > 0 and nl <= 8)
+    if grouped:
+        grp_perm, grp_bnd = _sphere_groups(
+            scene.spheres.center.astype(jnp.float32),
+            scene.spheres.radius.astype(jnp.float32),
+            order_from=camera.position)
+        n_groups = grp_perm.shape[0] // _GROUP_SIZE
+    else:
+        n_groups = 0
     kernel, n_grads = _make_bwd_kernel(W=W, H=H, U=U, V=V, TW=TW, TH=TH,
                                        depth=depth,
                                        ns=ns, npl=npl, nl=nl, compat=compat,
@@ -1181,7 +1282,8 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
                                        cheap_shadow=cheap_shadow,
                                        culled=culled, vis_k=vis_k,
                                        shadow_listed=sh_listed, sh_k=sh_k,
-                                       fused_loss=fused_loss)
+                                       fused_loss=fused_loss, grouped=grouped,
+                                       n_groups=n_groups)
     g_chw = jnp.moveaxis(g_image.astype(jnp.float32), -1, 0)  # (3, W, H)
     if swap_xy:
         g_chw = jnp.transpose(g_chw, (0, 2, 1))               # (3, H, W)
@@ -1200,6 +1302,9 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     if sh_listed:
         in_specs += [smem(), smem()]
         args += [sl_idx, sl_cnt]
+    if grouped:
+        in_specs += [smem(), smem()]
+        args += [grp_perm, grp_bnd]
     in_specs.append(g_spec)
     args.append(g_chw)
     scratch = []
@@ -1209,6 +1314,10 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
         # scene (nl=3, depth=2) at TW=24/TH=128: 90 slabs, ~1.4 MB VMEM.
         scratch = [pltpu.VMEM(((2 + nl) * (depth + 1) * 6, TW + 8, TH),
                               jnp.float32)]
+    if grouped:
+        # Grouped-fold state slabs (8 reusable (TW+8, TH) rows); the kernel
+        # pops this LAST, so it must follow the fused-AA slab.
+        scratch = scratch + [pltpu.VMEM((8, TW + 8, TH), jnp.float32)]
     flat = pl.pallas_call(
         kernel,
         grid=grid,

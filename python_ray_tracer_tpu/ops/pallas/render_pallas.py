@@ -261,7 +261,11 @@ def _tile_visibility(camera, scene, *, n_u, n_v, TW, TH, swap_xy, x_offset,
     return order.reshape(-1), cnt
 
 
-_GROUP_SIZE = 32   # spheres per Morton group (grouped bounce sweeps)
+# Spheres per Morton group (grouped bounce sweeps). 16 measured best at the
+# 1000-sphere 1080p depth-2 scale (67.0 ms vs 69.3 at 32): finer groups admit
+# tighter balls, and the doubled test count stays cheap relative to skipped
+# member sweeps.
+_GROUP_SIZE = 16
 
 
 def _morton30(x, y, z):
@@ -275,7 +279,7 @@ def _morton30(x, y, z):
     return spread(x) | (spread(y) << 1) | (spread(z) << 2)
 
 
-def _sphere_groups(centers, radii, group_size=None):
+def _sphere_groups(centers, radii, group_size=None, order_from=None):
     """Spatially-clustered sphere groups for the runtime grouped bounce sweep.
 
     Morton-orders the sphere centers (10-bit quantization per axis over the
@@ -316,11 +320,23 @@ def _sphere_groups(centers, radii, group_size=None):
     dist = jnp.linalg.norm(c_s - gc[:, None, :], axis=-1) + r_s
     R = jnp.max(jnp.where(valid, dist, 0.0), axis=1)              # (G,)
     R = R * 1.001 + 1e-3          # conservative f32 slack (test is exact-free)
+    if order_from is not None:
+        # Visit groups roughly front-to-back from a reference point (the
+        # camera): the closest-hit fold's t-prune then rejects far groups
+        # once a near one has set every lane's best. Order-free semantics
+        # (occlusion max / strict-< winner with the tie class) are unchanged;
+        # members stay contiguous within their group.
+        g_order = jnp.argsort(jnp.linalg.norm(
+            gc - jnp.asarray(order_from, jnp.float32)[None, :], axis=-1))
+        gc = gc[g_order]
+        R = R[g_order]
+        perm_pad = perm_pad.reshape(G, group_size)[g_order].reshape(-1)
     bounds = jnp.concatenate([gc, R[:, None]], axis=1).reshape(-1)
     return perm_pad, bounds.astype(jnp.float32)
 
 
-def _grouped_sphere_fold(ns, body, refs, grp, ray, t_prune_ref=None):
+def _grouped_sphere_fold(ns, body, refs, grp, ray, t_prune_ref=None,
+                         t_prune_strict=True):
     """Fold ``body(j, carry, ok) -> carry`` over ALL spheres in Morton-group
     order, skipping whole groups whose bounding ball provably misses every
     lane's ray — the runtime cull for BOUNCE sweeps, where origins/directions
@@ -340,13 +356,16 @@ def _grouped_sphere_fold(ns, body, refs, grp, ray, t_prune_ref=None):
     exact-tie winners only (the documented near-tie class — ties between
     distinct spheres at bit-equal t). Pad slots carry ``ok=False``.
 
-    ``t_prune_ref``: optional scratch ref holding the fold's running
-    closest-hit ``t``. A member's hit t is >= the group ball's entry t
-    (member ball inside the group ball; entry clamped at 0 for
-    origin-inside lanes), and the winner test is STRICT ``t_j < t`` — so a
-    group whose ball entry is already >= every lane's current best provably
-    cannot change the fold and is skipped. On dense scenes this prunes the
-    groups behind the first hit found.
+    ``t_prune_ref``: optional scratch ref holding a per-lane t bound. A
+    member's hit t is >= the group ball's entry t (member ball inside the
+    group ball; entry clamped at 0 for origin-inside lanes). With
+    ``t_prune_strict=True`` (closest-hit folds) a group is kept only while
+    ``entry < t``: the winner test is STRICT ``t_j < t``, so ``entry >= t``
+    provably cannot improve any lane. With ``t_prune_strict=False``
+    (attribute/adjoint folds masked by ``hit_obj``/``t_j == t``) the keep
+    condition is ``entry <= t`` — the winning member satisfies it, and a
+    skipped group provably contains no lane's winner. On dense scenes this
+    prunes the groups behind the known hits.
     """
     perm_ref, bnd_ref, G = grp
     ox, oy, oz, dx, dy, dz, a, od, oo, inv2a = ray
@@ -364,7 +383,8 @@ def _grouped_sphere_fold(ns, body, refs, grp, ray, t_prune_ref=None):
         may = (disc >= 0.0) & ((-b + sq) > 0.0)
         if t_prune_ref is not None:
             entry = jnp.maximum((-b - sq) * inv2a, 0.0)
-            may &= entry < t_prune_ref[...]
+            bound = t_prune_ref[...]
+            may &= (entry < bound) if t_prune_strict else (entry <= bound)
 
         @pl.when(jnp.max(may.astype(jnp.float32)) > 0.5)
         def _():
@@ -1700,12 +1720,17 @@ _SMEM_TABLE_BUDGET = 200_000
 # cover everything and the prepass bounce chain is pure cost: 1000-sphere
 # no-AA 84 ms at levels=1 vs 132 ms at levels=3) — hence the levels=1 default.
 _SHADOW_LISTS_AUTO = True
-# Default for group_cull=None: Morton-grouped runtime skip for BOUNCE
-# closest-hit sweeps on rolled scenes. OFF until measured on chip (flip with
-# the measured numbers in this comment once benchmarks/large_scene.py has a
-# group-cull row). Auto would require depth > 0 (it only gates bounce
-# sweeps) and skip interpret mode like the shadow lists.
-_GROUP_CULL_AUTO = False
+# Default for group_cull=None: Morton-grouped runtime skips for BOUNCE
+# sweeps, ON for scenes of >= _GROUP_MIN_NS spheres (measured on v5e,
+# 1080p depth-2, vs the plain rolled kernel: 1000-sphere 85.2 -> 67.0 ms
+# no-AA / 551 -> 450 ms AA; but 100-sphere REGRESSES 11.8 -> 13.5 ms no-AA
+# and 58.0 -> 65.8 ms AA — at that density the group tests + scratch state
+# round trips outweigh the skipped members). The threshold sits between the
+# two measured densities, aligned with _cull_capacity's first tier break.
+# Auto requires depth > 0 (only bounce sweeps are gated) and skips
+# interpret mode like the shadow lists.
+_GROUP_CULL_AUTO = True
+_GROUP_MIN_NS = 256
 
 
 def _shadow_list_capacity(ns: int, n_rows: int,
@@ -1921,13 +1946,15 @@ def _render_image_pallas(camera, scene, *, depth: int = 2, aliasing: bool = True
     # contract) — the combination is excluded until bounce-level lists stop
     # being a measured loss.
     grouped = ((group_cull if group_cull is not None
-                else (_GROUP_CULL_AUTO and not interpret))
+                else (_GROUP_CULL_AUTO and not interpret
+                      and ns >= _GROUP_MIN_NS))
                and ns > _UNROLL_LIMIT and depth > 0
                and not (sh_listed and sh_levels > 1))
     if grouped:
         grp_perm, grp_bnd = _sphere_groups(
             scene.spheres.center.astype(jnp.float32),
-            scene.spheres.radius.astype(jnp.float32))
+            scene.spheres.radius.astype(jnp.float32),
+            order_from=camera.position)
         n_groups = grp_perm.shape[0] // _GROUP_SIZE
     else:
         n_groups = 0

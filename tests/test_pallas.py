@@ -129,8 +129,10 @@ def test_pallas_group_cull_exact():
     a = np.asarray(render_image_pallas(cam, scene, group_cull=False, **kw))
     b = np.asarray(render_image_pallas(cam, scene, group_cull=True, **kw))
     np.testing.assert_array_equal(a, b)
-    # table sanity: perm is a permutation + pad, bounds cover members
-    perm, bnd = _sphere_groups(scene.spheres.center, scene.spheres.radius)
+    # table sanity: perm is a permutation + pad, bounds cover members —
+    # including under the camera-distance group ordering the resolvers use
+    perm, bnd = _sphere_groups(scene.spheres.center, scene.spheres.radius,
+                               order_from=cam.position)
     ns = scene.spheres.count
     assert sorted(np.asarray(perm)[:ns].tolist()) == list(range(ns))
     bnd = np.asarray(bnd).reshape(-1, 4)

@@ -444,6 +444,50 @@ def test_bwd_cull_fold_overflow_sentinel_jnp():
 
 
 @pytest.mark.slow
+def test_bwd_group_cull_matches_plain():
+    """Morton-grouped bounce folds in the backward (closest-hit recompute,
+    attr, occlusion, reverse adjoints) == the plain full-sweep backward.
+    Tolerance-only like kernel-level cull-vs-nocull: the two program
+    variants compile with different association (~ULP)."""
+    from python_ray_tracer_tpu.ops.pallas.render_bwd import scene_grads_pallas
+    scene = rt.random_scene(jax.random.key(5), n_spheres=40)
+    cam = rt.Camera.build((16, 8), [-7, 0, 3], [0, -15, 0])
+    g = jax.random.normal(jax.random.key(1), (16, 8, 3), jnp.float32) * 1e-3
+    kw = dict(depth=1, compat=True, tile_w=8, tile_h=8, interpret=True,
+              return_camera=True)
+    a = scene_grads_pallas(cam, scene, g, group_cull=False, **kw)
+    b = scene_grads_pallas(cam, scene, g, group_cull=True, **kw)
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_fused_loss_group_cull_matches_plain():
+    """Fused training step with grouped bounce folds == plain fused step
+    (the production path for dense-scene training)."""
+    from python_ray_tracer_tpu.ops.pallas.render_bwd import \
+        loss_and_scene_grads_pallas
+    from python_ray_tracer_tpu.ops.pallas.render_pallas import \
+        render_image_pallas
+    scene = rt.random_scene(jax.random.key(5), n_spheres=40)
+    cam = rt.Camera.build((16, 8), [-7, 0, 3], [0, -15, 0])
+    img = render_image_pallas(cam, scene, depth=1, aliasing=False, compat=True,
+                              interpret=True)
+    target = img * 0.9 + 1.0
+    kw = dict(depth=1, compat=True, tile_w=8, tile_h=8, interpret=True)
+    la, ga = loss_and_scene_grads_pallas(cam, scene, target,
+                                         group_cull=False, **kw)
+    lb, gb = loss_and_scene_grads_pallas(cam, scene, target,
+                                         group_cull=True, **kw)
+    np.testing.assert_allclose(float(lb), float(la), rtol=1e-7)
+    for x, y in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.slow
 def test_bwd_cull_small_scene_kernel():
     """Integration coverage of the culled kernel path (rolled folds + compact
     SMEM lists), activated on a small scene by lowering the unroll limit.
