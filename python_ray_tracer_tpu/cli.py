@@ -37,6 +37,15 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="auto = pallas on TPU, jnp elsewhere")
     p.add_argument("--soft", type=float, default=0.0, metavar="TAU",
                    help="render with the soft-visibility renderer at this tau")
+    p.add_argument("--adaptive-aa", type=float, default=None, metavar="EPS",
+                   help="adaptive 3x3 AA (pallas backend): supersample only "
+                        "pixels whose centers show curvature > EPS (in [0,1] "
+                        "color units; try 0.002 = 0.5/255). Approximate on "
+                        "smooth pixels — see ops/pallas/render_adaptive.py")
+    p.add_argument("--adaptive-budget", type=float, default=0.25,
+                   help="worklist budget as a fraction of the pixel count "
+                        "(static shape; overflowing pixels keep the smooth "
+                        "fallback and are reported)")
     p.add_argument("--spheres", type=int, default=0,
                    help="random N-sphere scene instead of the demo scene")
     p.add_argument("--out", type=str, default="output/render.png")
@@ -60,7 +69,8 @@ def _build(args):
     return cfg, scene, cam
 
 
-def _render_fn(cfg, soft_tau=0.0, scene=None):
+def _render_fn(cfg, soft_tau=0.0, scene=None, adaptive_eps=None,
+               adaptive_budget=0.25):
     if soft_tau > 0.0:
         if cfg.backend == "pallas":
             from .ops.pallas.soft_pallas import (render_image_soft_pallas,
@@ -81,12 +91,26 @@ def _render_fn(cfg, soft_tau=0.0, scene=None):
             return render_image_soft(cam, scene, tau=soft_tau)
         return fn
     if cfg.backend == "pallas":
+        if adaptive_eps is not None and cfg.aliasing:
+            from .ops.pallas.render_adaptive import render_image_adaptive
+
+            def fn(cam, scene):
+                return render_image_adaptive(cam, scene, depth=cfg.depth,
+                                             compat=cfg.compat,
+                                             eps=adaptive_eps,
+                                             budget_frac=adaptive_budget)
+            return fn
+        if adaptive_eps is not None:
+            print("[adaptive-aa] ignored: requires aliasing on",
+                  file=sys.stderr)
         from .ops.pallas.render_pallas import render_image_pallas
 
         def fn(cam, scene):
             return render_image_pallas(cam, scene, depth=cfg.depth,
                                        aliasing=cfg.aliasing, compat=cfg.compat)
         return fn
+    if adaptive_eps is not None:
+        print("[adaptive-aa] ignored: pallas backend only", file=sys.stderr)
 
     def fn(cam, scene):
         return render_image(cam, scene, depth=cfg.depth, aliasing=cfg.aliasing,
@@ -96,9 +120,22 @@ def _render_fn(cfg, soft_tau=0.0, scene=None):
 
 def cmd_render(args) -> int:
     cfg, scene, cam = _build(args)
-    fn = _render_fn(cfg, soft_tau=args.soft, scene=scene)
+    fn = _render_fn(cfg, soft_tau=args.soft, scene=scene,
+                    adaptive_eps=args.adaptive_aa,
+                    adaptive_budget=args.adaptive_budget)
     secs = time_fn(fn, cam, scene, warmup=1, iters=5)
     img = fn(cam, scene)
+    if args.adaptive_aa is not None and cfg.backend == "pallas" and cfg.aliasing:
+        from .ops.pallas.render_adaptive import render_image_adaptive
+        _, stats = render_image_adaptive(cam, scene, depth=cfg.depth,
+                                         compat=cfg.compat,
+                                         eps=args.adaptive_aa,
+                                         budget_frac=args.adaptive_budget,
+                                         with_stats=True)
+        print(f"[adaptive-aa] flagged {int(stats['flagged']):,} px "
+              f"({int(stats['flagged']) / (cfg.width * cfg.height):.1%}), "
+              f"dropped {int(stats['dropped']):,} (raise --adaptive-budget "
+              f"if > 0)")
     n_rays = rays_per_image(cfg.width, cfg.height, depth=cfg.depth,
                             aliasing=cfg.aliasing, n_lights=scene.lights.count)
     print(f"time: {secs * 1000:,.1f} ms  "
