@@ -38,10 +38,12 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--soft", type=float, default=0.0, metavar="TAU",
                    help="render with the soft-visibility renderer at this tau")
     p.add_argument("--adaptive-aa", type=float, default=None, metavar="EPS",
-                   help="adaptive 3x3 AA (pallas backend): supersample only "
-                        "pixels whose centers show curvature > EPS (in [0,1] "
-                        "color units; try 0.002 = 0.5/255). Approximate on "
-                        "smooth pixels — see ops/pallas/render_adaptive.py")
+                   help="EXPERIMENTAL adaptive 3x3 AA (pallas backend): "
+                        "supersample only pixels with center curvature > EPS "
+                        "(in [0,1] units; try 0.002 = 0.5/255). Near-exact "
+                        "quality but measured SLOWER than the shared-AA "
+                        "kernel on v5e at every tested scale — see "
+                        "ops/pallas/render_adaptive.py for the numbers")
     p.add_argument("--adaptive-budget", type=float, default=0.25,
                    help="worklist budget as a fraction of the pixel count "
                         "(static shape; overflowing pixels keep the smooth "

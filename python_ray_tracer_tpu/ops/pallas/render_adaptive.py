@@ -39,16 +39,32 @@ passes, both TPU-resident (one jit, no host round trips, static shapes):
    i.e. ~0.003/255 — compiler fusion differs across kernel shapes, the same
    tolerance class as the repo's other cross-kernel comparisons).
 
-Cost shape, measured at 1080p on one v5e: the pipeline's COMPUTE is cheap
-(centers pass 1.7 ms + worklist trace ~2.9 ms at a 22% budget) but the
-movement is not: `nonzero` is an XLA sort (~20 ms) and the scatter ~5 ns/row
-— TPU has no hardware gather/scatter, so per-pixel indirection carries a
-fixed ~25 ms/frame tax. On the 6-sphere demo the shared-AA kernel (7.7 ms)
-therefore WINS — adaptive AA at small scenes is a measured negative, kept
-opt-in. The regime that pays is DENSE scenes, where supersampling dominates
-the fixed tax: 100-sphere 3x3-AA 58 ms and 1000-sphere 450 ms full-AA frames
-skip 75-85% of their sample work for the same ~25 ms overhead (numbers:
-ONCHIP_r04.json / docs/ROADMAP.md round-4 section).
+**MEASURED NEGATIVE on v5e (kept as an opt-in experiment).** Quality is
+excellent everywhere tested (demo 1080p: 0.002% of pixels off by more than
+one uint8 step vs full AA), but the mode is slower than the shared-AA kernel
+in every measured regime, for two quantified hardware reasons:
+
+- *Small scenes* (demo 1080p, 15.1% flagged): compute is cheap (centers pass
+  1.7 ms + worklist trace 2.6 ms) but per-pixel indirection is not —
+  `nonzero` is an XLA sort (~20 ms at 2M pixels) and gather/scatter cost
+  ~5-9 ns/row (no hardware gather; 12-byte rows pad to vregs). The fixed
+  movement tax alone exceeds the full shared-AA frame (7.7 ms).
+- *Dense scenes* (where the tax would amortize): the worklist loses every
+  tile-coherence optimization the grid kernels rely on — cone-cull lists,
+  tile-coherent shadow early exit, Morton-group bounce gating all assume a
+  spatially-bounded pixel tile. Measured per-sample cost at 1000 spheres:
+  ~161 ns (scattered worklist, full sweeps) vs ~42 ns/sample-unit in the
+  culled grid kernel. Net: 100-sphere 1080p AA 160 ms vs 59 ms full
+  (0.37x), 1000-sphere 707 ms vs 450 ms (0.64x).
+
+Tile-granular skipping (the other way to adaptivity) was probed first and is
+equally negative: with the lane dimension fixed at 128, 70-95% of demo tiles
+touch an edge at every viable tile shape, so whole-tile skipping saves
+nothing over the shared-AA kernel's 5.1/9 sharing bound. Conclusion: on this
+hardware, unconditional shared-grid supersampling beats data-dependent
+sample skipping at every scale measured; the AA frontier stays at the
+shared kernel's arithmetic bound. (Numbers: docs/ROADMAP.md round-4
+section; same honesty bar as the bf16 negative, benchmarks/bf16_sweep.py.)
 
 The sample budget is static (``budget_frac`` of the pixel count) so the whole
 pipeline stays one compiled program: if more pixels flag than the budget
