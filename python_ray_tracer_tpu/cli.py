@@ -75,14 +75,13 @@ def _render_fn(cfg, soft_tau=0.0, scene=None, adaptive_eps=None,
                adaptive_budget=0.25):
     if soft_tau > 0.0:
         if cfg.backend == "pallas":
-            from .ops.pallas.soft_pallas import (render_image_soft_pallas,
-                                                 _SOFT_UNROLL_LIMIT)
-            n_obj = (scene.spheres.count + scene.planes.count
-                     if scene is not None else None)
-            if n_obj is not None and n_obj > _SOFT_UNROLL_LIMIT:
-                print(f"[soft] {n_obj} objects exceed the fused kernel's "
-                      f"{_SOFT_UNROLL_LIMIT}-object limit; using the jnp path",
-                      file=sys.stderr)
+            from .ops.pallas.render_pallas import _UNROLL_LIMIT
+            from .ops.pallas.soft_pallas import render_image_soft_pallas
+            npl = scene.planes.count if scene is not None else 0
+            if npl > _UNROLL_LIMIT:
+                print(f"[soft] {npl} planes exceed the fused kernel's "
+                      f"unrolled-plane limit ({_UNROLL_LIMIT}); using the "
+                      f"jnp path", file=sys.stderr)
             else:
                 def fn(cam, scene):
                     return render_image_soft_pallas(cam, scene, tau=soft_tau)

@@ -13,10 +13,15 @@ the order-free identity
                                                   (t_j == t_i and j < i)])
 
 which reproduces the sorted cumprod exactly, including argsort's stable
-index-order tie-break. O(K^2 + K^2 L) per ray like the jnp path; the whole
-object state lives in registers, so the kernel unrolls the object axis and is
-limited to smallish scenes (inverse-rendering workloads; the jnp path remains
-for larger K).
+index-order tie-break (the ``j == i`` factor self-excludes: ``t_i < t_i`` is
+false). O(K^2 + K^2 L) per ray like the jnp path. Scenes up to
+``_SOFT_UNROLL_LIMIT`` objects unroll fully with all per-object tile state
+cached in registers; larger scenes switch to a *rolled* form that holds O(1)
+state and recomputes coverages inside chunk-unrolled ``fori_loop`` sweeps
+(``render_pallas._fold_objects`` — the same machinery as the hard kernel's
+rolled scenes). The recompute doubles coverage arithmetic but removes the
+register/VMEM ceiling; product order matches the unrolled path (spheres
+ascending, then planes), so rolled == unrolled to FMA-contraction ULPs.
 
 Scope mirrors soft.py: clean-mode camera, primary visibility + ambient +
 soft-shadowed Lambert, opaque planes, no mirror bounces. Differentiability:
@@ -35,10 +40,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
-                            _P_DZ, _P_AMB, _P_LAMB, _pack_params, _rnorm,
-                            _resolve_swap)
+                            _P_DZ, _P_AMB, _P_LAMB, _UNROLL_LIMIT,
+                            _fold_objects, _pack_params, _rnorm, _resolve_swap)
 
-_SOFT_UNROLL_LIMIT = 24   # objects fully unrolled in registers
+_SOFT_UNROLL_LIMIT = 24   # below: objects fully unrolled in registers;
+                          # above: rolled folds with coverage recompute
 
 # extra SMEM scalar appended after the standard params vector
 _P_TAU_REL = 0
@@ -61,7 +67,7 @@ def _soft_cover(ox, oy, oz, dx, dy, dz, cx, cy, cz, r, tau, shape):
     return alpha, jnp.maximum(t, 1e-4)
 
 
-def _make_soft_kernel(*, W, H, TW, TH, ns, npl, nl, swap_xy):
+def _make_soft_kernel(*, W, H, TW, TH, ns, npl, nl, swap_xy, rolled=False):
     shape = (TW, TH)
 
     def kernel(params, sph, pln, lts, extra, out_ref):
@@ -89,15 +95,18 @@ def _make_soft_kernel(*, W, H, TW, TH, ns, npl, nl, swap_xy):
         oy = params[_P_ORIGIN + 1]
         oz = params[_P_ORIGIN + 2]
 
+        def sphere_cover(k, Px, Py, Pz, Ddx, Ddy, Ddz):
+            """Coverage of sphere ``k`` (static OR traced index — SMEM reads
+            take both) along rays from P (scalar or tile) in direction D."""
+            return _soft_cover(Px, Py, Pz, Ddx, Ddy, Ddz, sph[0, k],
+                               sph[1, k], sph[2, k], sph[3, k], tau, shape)
+
         def transmission(Px, Py, Pz, Ldx, Ldy, Ldz):
             """prod_j (1 - alpha_j) along a shadow ray (soft.py:75-86)."""
-            vis = jnp.ones(shape, jnp.float32)
-            for k in range(ns):
-                a_k, _ = _soft_cover(Px, Py, Pz, Ldx, Ldy, Ldz,
-                                     sph[0, k], sph[1, k], sph[2, k], sph[3, k],
-                                     tau, shape)
-                vis = vis * (1.0 - a_k)
-            return vis
+            def body(k, vis):
+                a_k, _ = sphere_cover(k, Px, Py, Pz, Ldx, Ldy, Ldz)
+                return vis * (1.0 - a_k)
+            return _fold_objects(ns, body, jnp.ones(shape, jnp.float32))
 
         def shade(Px, Py, Pz, Nx, Ny, Nz, ar, ag, ab):
             """ambient + soft-shadowed Lambert (soft.py:89-100)."""
@@ -112,19 +121,9 @@ def _make_soft_kernel(*, W, H, TW, TH, ns, npl, nl, swap_xy):
                 sr, sg, sb = sr + lam * ar, sg + lam * ag, sb + lam * ab
             return sr, sg, sb
 
-        alphas, ts, rgbs = [], [], []
-        for k in range(ns):
-            cx, cy, cz, r = sph[0, k], sph[1, k], sph[2, k], sph[3, k]
-            a_k, t_k = _soft_cover(ox, oy, oz, dx, dy, dz, cx, cy, cz, r,
-                                   tau, shape)
-            Px, Py, Pz = ox + t_k * dx, oy + t_k * dy, oz + t_k * dz
-            nx_, ny_, nz_ = Px - cx, Py - cy, Pz - cz
-            nn = _rnorm(nx_, ny_, nz_)
-            rgbs.append(shade(Px, Py, Pz, nx_ * nn, ny_ * nn, nz_ * nn,
-                              sph[4, k], sph[5, k], sph[6, k]))
-            alphas.append(a_k)
-            ts.append(t_k)
-        for k in range(npl):
+        def plane_cover(k):
+            """Hard plane coverage + depth (static index; planes stay
+            unrolled — their count is bounded by the CLI/resolver gate)."""
             nx_, ny_, nz_ = pln[3, k], pln[4, k], pln[5, k]
             den = dx * nx_ + dy * ny_ + dz * nz_
             den_safe = jnp.where(jnp.abs(den) > 1e-8, den, 1.0)
@@ -133,28 +132,104 @@ def _make_soft_kernel(*, W, H, TW, TH, ns, npl, nl, swap_xy):
             t_k = jnp.maximum(num / den_safe, 1e-4)
             a_k = ((jnp.abs(den) > 1e-8) & (num / den_safe > 0.0)
                    ).astype(jnp.float32)
-            Px, Py, Pz = ox + t_k * dx, oy + t_k * dy, oz + t_k * dz
-            rgbs.append(shade(Px, Py, Pz, nx_, ny_, nz_,
-                              pln[6, k], pln[7, k], pln[8, k]))
-            alphas.append(a_k)
-            ts.append(t_k)
+            return a_k, t_k
 
-        # order-free front-to-back compositing (== sorted cumprod, soft.py:137-145)
-        out_r = jnp.zeros(shape, jnp.float32)
-        out_g = jnp.zeros(shape, jnp.float32)
-        out_b = jnp.zeros(shape, jnp.float32)
-        K = len(alphas)
-        for ii in range(K):
-            w = alphas[ii]
-            for jj in range(K):
-                if jj == ii:
+        def plane_rgb(k, t_k):
+            Px, Py, Pz = ox + t_k * dx, oy + t_k * dy, oz + t_k * dz
+            return shade(Px, Py, Pz, pln[3, k], pln[4, k], pln[5, k],
+                         pln[6, k], pln[7, k], pln[8, k])
+
+        def sphere_eval(k):
+            """(alpha, t, shaded rgb) of sphere ``k`` (static or traced)."""
+            a_k, t_k = sphere_cover(k, ox, oy, oz, dx, dy, dz)
+            cx, cy, cz = sph[0, k], sph[1, k], sph[2, k]
+            Px, Py, Pz = ox + t_k * dx, oy + t_k * dy, oz + t_k * dz
+            nx_, ny_, nz_ = Px - cx, Py - cy, Pz - cz
+            nn = _rnorm(nx_, ny_, nz_)
+            rgb = shade(Px, Py, Pz, nx_ * nn, ny_ * nn, nz_ * nn,
+                        sph[4, k], sph[5, k], sph[6, k])
+            return a_k, t_k, rgb
+
+        if not rolled:
+            # Small scenes: cache every object's (alpha, t, rgb) tile in
+            # registers, O(K^2) compositing over the cached lists.
+            alphas, ts, rgbs = [], [], []
+            for k in range(ns):
+                a_k, t_k, rgb = sphere_eval(k)
+                alphas.append(a_k)
+                ts.append(t_k)
+                rgbs.append(rgb)
+            for k in range(npl):
+                a_k, t_k = plane_cover(k)
+                rgbs.append(plane_rgb(k, t_k))
+                alphas.append(a_k)
+                ts.append(t_k)
+
+            # order-free front-to-back compositing (== sorted cumprod,
+            # soft.py:137-145)
+            out_r = jnp.zeros(shape, jnp.float32)
+            out_g = jnp.zeros(shape, jnp.float32)
+            out_b = jnp.zeros(shape, jnp.float32)
+            K = len(alphas)
+            for ii in range(K):
+                w = alphas[ii]
+                for jj in range(K):
+                    if jj == ii:
+                        continue
+                    if jj < ii:
+                        closer = ts[jj] <= ts[ii]   # ties: lower index wins
+                    else:
+                        closer = ts[jj] < ts[ii]
+                    w = w * (1.0 - jnp.where(closer, alphas[jj], 0.0))
+                sr, sg, sb = rgbs[ii]
+                out_r += w * sr
+                out_g += w * sg
+                out_b += w * sb
+            out_ref[0], out_ref[1], out_ref[2] = out_r, out_g, out_b
+            return
+
+        # Rolled scenes: O(1) register state — recompute coverages inside
+        # chunk-unrolled folds. Product order matches the unrolled path
+        # (spheres ascending, then planes); the j == i factor self-excludes
+        # because t_i < t_i is false.
+        plane_at = [plane_cover(k) for k in range(npl)]
+
+        def w_vs_spheres(i_idx, t_i, w):
+            def body(jj, w):
+                a_j, t_j = sphere_cover(jj, ox, oy, oz, dx, dy, dz)
+                # select-on-bool-vectors does not legalize in Mosaic
+                # (arith.select over i1): express the stable tie-break as
+                # boolean algebra instead. j==i self-excludes (both false).
+                closer = (t_j < t_i) | ((t_j <= t_i) & (jj < i_idx))
+                return w * (1.0 - jnp.where(closer, a_j, 0.0))
+            return _fold_objects(ns, body, w)
+
+        def sphere_body(ii, carry):
+            out_r, out_g, out_b = carry
+            a_i, t_i, (sr, sg, sb) = sphere_eval(ii)
+            w = w_vs_spheres(ii, t_i, a_i)
+            for k in range(npl):        # plane index ns+k > ii: strict <
+                a_p, t_p = plane_at[k]
+                w = w * (1.0 - jnp.where(t_p < t_i, a_p, 0.0))
+            return out_r + w * sr, out_g + w * sg, out_b + w * sb
+
+        zero = jnp.zeros(shape, jnp.float32)
+        out_r, out_g, out_b = _fold_objects(ns, sphere_body,
+                                            (zero, zero, zero))
+        for k in range(npl):
+            a_i, t_i = plane_at[k]
+            sr, sg, sb = plane_rgb(k, t_i)
+            # every sphere index < ns + k: non-strict closer test
+            def body(jj, w, t_i=t_i):
+                a_j, t_j = sphere_cover(jj, ox, oy, oz, dx, dy, dz)
+                return w * (1.0 - jnp.where(t_j <= t_i, a_j, 0.0))
+            w = _fold_objects(ns, body, a_i)
+            for k2 in range(npl):
+                if k2 == k:
                     continue
-                if jj < ii:
-                    closer = ts[jj] <= ts[ii]   # ties: lower index wins
-                else:
-                    closer = ts[jj] < ts[ii]
-                w = w * (1.0 - jnp.where(closer, alphas[jj], 0.0))
-            sr, sg, sb = rgbs[ii]
+                a_j, t_j = plane_at[k2]
+                closer = (t_j <= t_i) if k2 < k else (t_j < t_i)
+                w = w * (1.0 - jnp.where(closer, a_j, 0.0))
             out_r += w * sr
             out_g += w * sg
             out_b += w * sb
@@ -163,17 +238,24 @@ def _make_soft_kernel(*, W, H, TW, TH, ns, npl, nl, swap_xy):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile_w", "tile_h", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_w", "tile_h", "interpret",
+                                             "rolled"))
 def render_image_soft_pallas(camera, scene, *, tau=0.05, tile_w: int = 40,
-                             tile_h: int = 128,
-                             interpret: bool = False) -> jnp.ndarray:
+                             tile_h: int = 128, interpret: bool = False,
+                             rolled: bool | None = None) -> jnp.ndarray:
     """Fused soft render -> float ``(w, h, 3)``, matching
-    :func:`..soft.render_image_soft` (clean orientation/channels)."""
+    :func:`..soft.render_image_soft` (clean orientation/channels).
+
+    ``rolled``: None = auto (rolled folds above ``_SOFT_UNROLL_LIMIT``
+    objects, fully unrolled below); pass explicitly to pin a path (tests,
+    benchmarks)."""
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
-    assert ns + npl <= _SOFT_UNROLL_LIMIT, (
-        f"soft kernel unrolls objects in registers; {ns + npl} > "
-        f"{_SOFT_UNROLL_LIMIT} — use the jnp path (render_image_soft)")
+    assert npl <= _UNROLL_LIMIT, (
+        f"soft kernel keeps planes unrolled; {npl} > {_UNROLL_LIMIT} planes "
+        f"— use the jnp path (render_image_soft)")
+    if rolled is None:
+        rolled = ns + npl > _SOFT_UNROLL_LIMIT
     params = _pack_params(camera, scene, False)   # clean-mode grid
     extra = jnp.asarray([tau], jnp.float32)
     sph = jnp.concatenate([
@@ -195,7 +277,7 @@ def render_image_soft_pallas(camera, scene, *, tau=0.05, tile_w: int = 40,
     TW = min(tile_w, U)
     TH = tile_h
     kernel = _make_soft_kernel(W=W, H=H, TW=TW, TH=TH, ns=ns, npl=npl, nl=nl,
-                               swap_xy=swap_xy)
+                               swap_xy=swap_xy, rolled=rolled)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
