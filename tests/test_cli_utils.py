@@ -34,6 +34,26 @@ def test_cli_render_clean_and_soft(tmp_path):
     assert not np.array_equal(a, b)  # soft edges differ from hard
 
 
+def test_render_fn_routes_dense_soft_to_kernel():
+    """Dense soft scenes route through the rolled pallas kernel now (the old
+    24-object jnp fallback is gone); only >16 planes still fall back to jnp."""
+    import dataclasses
+    import jax
+    from python_ray_tracer_tpu.cli import _render_fn
+    from python_ray_tracer_tpu.utils.config import RenderConfig
+
+    cfg = RenderConfig(backend="pallas")
+    dense = rt.random_scene(jax.random.key(0), 100)
+    fn = _render_fn(cfg, soft_tau=0.05, scene=dense)
+    assert "render_image_soft_pallas" in fn.__code__.co_freevars
+
+    many_planes = dataclasses.replace(
+        dense, planes=rt.Planes.build(
+            [([5 + i, 0, 0], [0, 0, 1], rt.GREY) for i in range(17)]))
+    fn2 = _render_fn(cfg, soft_tau=0.05, scene=many_planes)
+    assert "render_image_soft_pallas" not in fn2.__code__.co_freevars
+
+
 def test_cli_random_scene(tmp_path):
     out = os.path.join(tmp_path, "rand.png")
     assert main(["render", "--width", "16", "--height", "16", "--spheres", "5",
