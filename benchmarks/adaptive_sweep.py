@@ -32,72 +32,55 @@ def main() -> int:
     jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
+    import jax.numpy as jnp
+
     from python_ray_tracer_tpu.models import Camera, default_scene
+    from python_ray_tracer_tpu.ops.pallas.render_adaptive import (
+        _curvature_flags, _tent_image)
     from python_ray_tracer_tpu.ops.render import render_image
 
     scene = default_scene()
 
-    def centers(w, h):
+    def centers_rgb(w, h):
+        """Clean (r,g,b) centers — the production pipeline's C input."""
         cam = Camera.build((w, h), position=[-2.0, 0.0, 2.0],
                            euler=[0.0, -30.0, 0.0])
-        return np.asarray(render_image(cam, scene, depth=2, aliasing=False,
-                                       compat=True))
-
-    def curvature(C):
-        d = np.zeros(C.shape[:2], np.float32)
-        for ax, ay in ((1, 0), (0, 1), (1, 1), (1, -1)):
-            p = np.roll(np.roll(C, ax, 0), ay, 1)
-            m = np.roll(np.roll(C, -ax, 0), -ay, 1)
-            d = np.maximum(d, np.abs(p - 2 * C + m).max(-1))
-        dd = d.copy()
-        for sx in (-1, 0, 1):
-            for sy in (-1, 0, 1):
-                dd = np.maximum(dd, np.roll(np.roll(d, sx, 0), sy, 1))
-        return dd
+        img = render_image(cam, scene, depth=2, aliasing=False, compat=True)
+        return img[..., jnp.asarray([0, 2, 1])]   # undo the no-AA store swap
 
     # --- 1. tile coverage at 1080p (swap_xy layout: U=H sublanes, V=W lanes)
+    # Uses the PRODUCTION metric (render_adaptive._curvature_flags) so the
+    # probe measures exactly what ships.
     W, H = 1920, 1080
-    dd = curvature(centers(W, H)).T          # (U, V)
+    C1080 = centers_rgb(W, H)
     eps = 1.0 / 255
+    flagged = np.asarray(_curvature_flags(C1080, W, H, eps)).T   # (U, V)
     rows = []
     for TW, TH in ((40, 384), (24, 384), (40, 128), (16, 128), (8, 128)):
         f = -(-(TH + 1) // 128) * 128 / TH   # +1-halo lane-padding factor
         units = 1 + (TW + 8) / TW * (1 + f) + f
         nu, nv = -(-H // TW), -(-W // TH)
-        pad = np.zeros((nu * TW, nv * TH), np.float32)
-        pad[:H, :W] = dd
-        frac = float((pad.reshape(nu, TW, nv, TH).max((1, 3)) > eps).mean())
+        pad = np.zeros((nu * TW, nv * TH), bool)
+        pad[:H, :W] = flagged
+        frac = float(pad.reshape(nu, TW, nv, TH).any((1, 3)).mean())
         rows.append(dict(tile=f"{TW}x{TH}", units=round(units, 2),
                          flagged_tiles_pct=round(frac * 100, 1)))
         print(f"tile {TW:3d}x{TH:3d}: units {units:4.2f}  "
               f"flagged tiles {frac * 100:5.1f}%", file=sys.stderr)
-    px_frac = float((dd > eps).mean())
+    px_frac = float(flagged.mean())
     print(f"flagged PIXELS at 1080p: {px_frac * 100:.1f}%", file=sys.stderr)
 
-    # --- 2. tent quality on unflagged pixels at 512x288
+    # --- 2. tent quality on unflagged pixels at 512x288 (production
+    # _tent_image, incl. the compat combine + border handling)
     W2, H2 = 512, 288
-    Craw = centers(W2, H2)                    # no-AA compat stores (r, b, g)
-    C = Craw[..., [0, 2, 1]]
+    C = centers_rgb(W2, H2)
     cam2 = Camera.build((W2, H2), position=[-2.0, 0.0, 2.0],
                         euler=[0.0, -30.0, 0.0])
     aa = np.asarray(render_image(cam2, scene, depth=2, aliasing=True,
                                  compat=True))
-    k = np.array([[.25, 1, .25], [1, 4, 1], [.25, 1, .25]], np.float32)
-    T = np.zeros_like(C)
-    for sx in (-1, 0, 1):
-        for sy in (-1, 0, 1):
-            T += k[sx + 1, sy + 1] * np.roll(np.roll(C, sx, 0), sy, 1)
-    T /= 9.0
-    approx = np.stack([T[..., 0],
-                       (C[..., 2] + 9 * T[..., 1] - C[..., 1]) / 9.0,
-                       (C[..., 1] + 9 * T[..., 2] - C[..., 2]) / 9.0], -1)
-    gx = np.arange(W2)[:, None] * np.ones((1, H2))
-    gy = np.ones((W2, 1)) * np.arange(H2)[None, :]
-    interior = (gx >= 1) & (gx <= W2 - 2) & (gy >= 1) & (gy <= H2 - 2)
-    border = np.stack([C[..., 0], C[..., 2], C[..., 1]], -1)
-    approx = np.where(interior[..., None], approx, border)
+    approx = np.asarray(_tent_image(C, W2, H2, compat=True))
     err = np.abs(approx - aa).max(-1)
-    smooth = curvature(C) <= 0.5 / 255
+    smooth = ~np.asarray(_curvature_flags(C, W2, H2, 0.5 / 255))
     e = err[smooth]
     print(f"tent err on unflagged px (eps=0.5/255): max {e.max()*255:.2f}/255 "
           f"p99.9 {np.percentile(e, 99.9)*255:.2f}/255", file=sys.stderr)

@@ -74,6 +74,9 @@ def _build(args):
 def _render_fn(cfg, soft_tau=0.0, scene=None, adaptive_eps=None,
                adaptive_budget=0.25):
     if soft_tau > 0.0:
+        if adaptive_eps is not None:
+            print("[adaptive-aa] ignored: --soft renders use the soft "
+                  "renderer", file=sys.stderr)
         if cfg.backend == "pallas":
             from .ops.pallas.render_pallas import _UNROLL_LIMIT
             from .ops.pallas.soft_pallas import render_image_soft_pallas
@@ -125,18 +128,23 @@ def cmd_render(args) -> int:
                     adaptive_eps=args.adaptive_aa,
                     adaptive_budget=args.adaptive_budget)
     secs = time_fn(fn, cam, scene, warmup=1, iters=5)
-    img = fn(cam, scene)
-    if args.adaptive_aa is not None and cfg.backend == "pallas" and cfg.aliasing:
+    adaptive_active = (args.adaptive_aa is not None and args.soft <= 0.0
+                       and cfg.backend == "pallas" and cfg.aliasing)
+    if adaptive_active:
+        # the stats variant IS the render (one extra compile, no extra
+        # full pipeline run just for the report)
         from .ops.pallas.render_adaptive import render_image_adaptive
-        _, stats = render_image_adaptive(cam, scene, depth=cfg.depth,
-                                         compat=cfg.compat,
-                                         eps=args.adaptive_aa,
-                                         budget_frac=args.adaptive_budget,
-                                         with_stats=True)
+        img, stats = render_image_adaptive(cam, scene, depth=cfg.depth,
+                                           compat=cfg.compat,
+                                           eps=args.adaptive_aa,
+                                           budget_frac=args.adaptive_budget,
+                                           with_stats=True)
         print(f"[adaptive-aa] flagged {int(stats['flagged']):,} px "
               f"({int(stats['flagged']) / (cfg.width * cfg.height):.1%}), "
               f"dropped {int(stats['dropped']):,} (raise --adaptive-budget "
               f"if > 0)")
+    else:
+        img = fn(cam, scene)
     n_rays = rays_per_image(cfg.width, cfg.height, depth=cfg.depth,
                             aliasing=cfg.aliasing, n_lights=scene.lights.count)
     print(f"time: {secs * 1000:,.1f} ms  "

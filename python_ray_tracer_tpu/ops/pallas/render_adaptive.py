@@ -159,10 +159,6 @@ def _tent_image(C, W, H, compat):
     return jnp.where(interior, aa, border)
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "compat", "eps",
-                                             "budget_frac", "interpret",
-                                             "row_block", "with_stats",
-                                             "tile_w", "tile_h"))
 def render_image_adaptive(camera, scene, *, depth: int = 2,
                           compat: bool = True, eps: float = 1.0 / 255,
                           budget_frac: float = 0.25,
@@ -182,9 +178,28 @@ def render_image_adaptive(camera, scene, *, depth: int = 2,
     Returns ``image`` or ``(image, stats)``,
     stats = ``{"flagged": n, "dropped": n}``.
     """
+    # cheap_shadow inspects concrete radii — it must resolve OUTSIDE the jit
+    # boundary (inside, scene is a tracer and the check degrades to the
+    # conservative root form; render_pallas keeps the same wrapper/inner
+    # split for the same reason).
+    cheap_shadow = _shadow_cheap_ok(scene, compat)
+    return _render_image_adaptive(camera, scene, depth=depth, compat=compat,
+                                  eps=eps, budget_frac=budget_frac,
+                                  interpret=interpret, row_block=row_block,
+                                  with_stats=with_stats, tile_w=tile_w,
+                                  tile_h=tile_h, cheap_shadow=cheap_shadow)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "compat", "eps",
+                                             "budget_frac", "interpret",
+                                             "row_block", "with_stats",
+                                             "tile_w", "tile_h",
+                                             "cheap_shadow"))
+def _render_image_adaptive(camera, scene, *, depth, compat, eps, budget_frac,
+                           interpret, row_block, with_stats, tile_w, tile_h,
+                           cheap_shadow):
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
-    cheap_shadow = _shadow_cheap_ok(scene, compat)
 
     # --- pass 1: centers (the production no-AA fused kernel) ---
     img0 = render_image_pallas(camera, scene, depth=depth, aliasing=False,
@@ -204,7 +219,13 @@ def render_image_adaptive(camera, scene, *, depth: int = 2,
     flat = flags.reshape(-1)
     n_flagged = jnp.sum(flat.astype(jnp.int32))
     (idx,) = jnp.nonzero(flat, size=K, fill_value=int(W * H))
-    idx = idx.astype(jnp.int32)                      # sorted; sentinel = W*H
+    idx = idx.astype(jnp.int32)
+    # distinct out-of-bounds sentinels (W*H + slot) keep the scatter's
+    # unique_indices/sorted promises honest when fewer than K pixels flag —
+    # identical fill values would violate the uniqueness contract even
+    # though drop-mode never applies them.
+    slot = jnp.arange(K, dtype=jnp.int32)
+    idx = jnp.where(idx >= W * H, jnp.int32(W * H) + slot, idx)
 
     px0 = (idx // H).astype(jnp.float32)             # sentinel -> x=W (sky)
     py0 = (idx % H).astype(jnp.float32)

@@ -306,7 +306,18 @@ def _fwd(camera, scene, tau):
 def _bwd(tau, res, g):
     camera, scene = res
     from ..soft import render_image_soft
-    _, vjp = jax.vjp(lambda c, s: render_image_soft(c, s, tau=tau),
+    # The jnp soft path materializes an f32[rows, H, K, K, 3] intermediate;
+    # with the forward cap removed, dense scenes would OOM un-chunked
+    # (100 spheres @512^2 = 31 GB). Bound it to ~1 GB via row_chunk remat.
+    W, H = camera.resolution
+    K = scene.spheres.count + scene.planes.count
+    per_row = max(H * K * K * 3, 1)
+    chunk = max(1, min(W, (1 << 28) // per_row))   # ~256M f32 = 1 GB
+    while W % chunk:
+        chunk -= 1
+    rc = None if chunk >= W else chunk
+    _, vjp = jax.vjp(lambda c, s: render_image_soft(c, s, tau=tau,
+                                                    row_chunk=rc),
                      camera, scene)
     return vjp(g)
 
