@@ -221,8 +221,12 @@ def cmd_fit(args) -> int:
             center=scene.spheres.center + jnp.asarray([0.2, -0.15, 0.1])))
     logger = MetricsLogger("fit")
     if args.mode == "soft":
+        # pallas backend: fused-kernel forwards (targets + loss render); the
+        # gradients stay on the jnp soft path via the custom_vjp wrapper
+        soft_backend = "pallas" if cfg.backend == "pallas" else "jnp"
         fitted, losses = train.fit_scene_soft(init, cam, scene, steps=args.steps,
-                                              lr=args.lr, logger=logger)
+                                              lr=args.lr, logger=logger,
+                                              backend=soft_backend)
     else:
         target = render_image(cam, scene, depth=cfg.depth, aliasing=False,
                               compat=cfg.compat)

@@ -292,18 +292,21 @@ def render_image_soft_pallas(camera, scene, *, tau=0.05, tile_w: int = 40,
     return jnp.moveaxis(out, 0, -1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def render_image_soft_fast(camera, scene, tau: float = 0.05):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def render_image_soft_fast(camera, scene, tau: float = 0.05,
+                           interpret: bool = False):
     """Pallas soft forward + jnp-autodiff backward (training renders the loss
     with kernel-speed forward; gradients via the jnp soft path)."""
-    return render_image_soft_pallas(camera, scene, tau=tau)
+    return render_image_soft_pallas(camera, scene, tau=tau,
+                                    interpret=interpret)
 
 
-def _fwd(camera, scene, tau):
-    return render_image_soft_pallas(camera, scene, tau=tau), (camera, scene)
+def _fwd(camera, scene, tau, interpret):
+    return (render_image_soft_pallas(camera, scene, tau=tau,
+                                     interpret=interpret), (camera, scene))
 
 
-def _bwd(tau, res, g):
+def _bwd(tau, interpret, res, g):
     camera, scene = res
     from ..soft import render_image_soft
     # The jnp soft path materializes an f32[rows, H, K, K, 3] intermediate;

@@ -34,11 +34,24 @@ def pixel_loss(camera, target, *, depth: int = 2, aliasing: bool = False,
 
 
 def soft_pixel_loss(camera, target, *, tau: float = 0.05,
-                    row_chunk: Optional[int] = None) -> Callable:
+                    row_chunk: Optional[int] = None, backend: str = "jnp",
+                    interpret: bool = False) -> Callable:
     """Silhouette-aware loss via the soft-visibility renderer (ops/soft.py).
 
     The target should be produced by :func:`soft_pixel_target` (same renderer) so
-    the residual isn't dominated by the soft/hard appearance gap."""
+    the residual isn't dominated by the soft/hard appearance gap.
+
+    ``backend="pallas"`` renders the forward with the fused soft kernel
+    (gradients still come from the jnp path via its custom_vjp — the soft
+    renderer's gradients matter more than its pixels, and the kernel forward
+    is 5-6x the jnp one at dense scales)."""
+    if backend == "pallas":
+        from .ops.pallas.soft_pallas import render_image_soft_fast
+
+        def loss(scene):
+            img = render_image_soft_fast(camera, scene, tau, interpret)
+            return jnp.mean((img - target) ** 2)
+        return loss
     from .ops.soft import render_image_soft
 
     def loss(scene):
@@ -311,22 +324,30 @@ def fit_scene_soft(init_scene: Scene, camera, target_scene: Scene, *,
                    steps: int = 200, lr: float = 1e-2,
                    taus: Sequence[float] = (0.15, 0.05, 0.02),
                    trainable: Optional[Sequence[str]] = ("spheres.center",),
-                   logger: Optional[MetricsLogger] = None):
+                   logger: Optional[MetricsLogger] = None,
+                   backend: str = "jnp"):
     """Coarse-to-fine soft-visibility fitting (anneal ``tau`` toward hard).
 
     At each ``tau`` the *target* is re-rendered from ``target_scene`` with the same
     softness, so only geometry/material mismatch drives the loss. Robust where the
     hard a.e. gradient misleads (overlapping silhouettes — see ops/soft.py).
-    Returns ``(scene, losses)``.
+    ``backend="pallas"`` renders forwards (targets + loss) with the fused soft
+    kernel; gradients stay on the jnp path. Returns ``(scene, losses)``.
     """
     from .ops.soft import render_image_soft
+
+    def render_target(tau):
+        if backend == "pallas":
+            from .ops.pallas.soft_pallas import render_image_soft_pallas
+            return render_image_soft_pallas(camera, target_scene, tau=tau)
+        return render_image_soft(camera, target_scene, tau=tau)
 
     scene = init_scene
     losses = []
     per_stage = max(1, steps // len(taus))
     for tau in taus:
-        target = render_image_soft(camera, target_scene, tau=tau)
-        loss_fn = soft_pixel_loss(camera, target, tau=tau)
+        target = render_target(tau)
+        loss_fn = soft_pixel_loss(camera, target, tau=tau, backend=backend)
         optimizer = optax.adam(lr)
         step = make_train_step(loss_fn, optimizer, trainable)
         opt_state = optimizer.init(scene)

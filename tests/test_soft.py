@@ -144,6 +144,29 @@ def test_soft_pallas_rolled_matches_jnp_dense():
     np.testing.assert_allclose(out, ref, atol=2e-4)
 
 
+def test_soft_pixel_loss_pallas_backend_matches_jnp():
+    """soft_pixel_loss(backend='pallas') — fused-kernel forward, jnp-path
+    gradients via render_image_soft_fast's custom_vjp — must match the pure
+    jnp loss in value and gradients (the fit pipeline's pallas route)."""
+    import jax
+    import numpy as np
+    from python_ray_tracer_tpu import train
+    cam = rt.default_camera((16, 16))
+    scene = rt.default_scene()
+    target = rt.render_image_soft(cam, scene, tau=0.05) * 0.9
+    l_jnp = train.soft_pixel_loss(cam, target, tau=0.05)
+    l_pal = train.soft_pixel_loss(cam, target, tau=0.05, backend="pallas",
+                                  interpret=True)
+    v0, g0 = jax.value_and_grad(l_jnp)(scene)
+    v1, g1 = jax.value_and_grad(l_pal)(scene)
+    assert float(v1) == pytest.approx(float(v0), rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-3,
+                                   atol=1e-5 * (abs(a).max() + 1.0))
+
+
 @pytest.mark.slow  # two ~50 s interpret traces; the dense-vs-jnp test stays fast
 def test_soft_pallas_rolled_matches_unrolled():
     """ULP-class agreement of the rolled recompute scheme vs the unrolled
