@@ -42,9 +42,13 @@ def soft_pixel_loss(camera, target, *, tau: float = 0.05,
     the residual isn't dominated by the soft/hard appearance gap.
 
     ``backend="pallas"`` renders the forward with the fused soft kernel
-    (gradients still come from the jnp path via its custom_vjp — the soft
-    renderer's gradients matter more than its pixels, and the kernel forward
-    is 5-6x the jnp one at dense scales)."""
+    (gradients still come from the jnp path via its custom_vjp). Measured
+    honestly on chip (100 spheres, 128^2): forward-only evaluation is 5-6x
+    faster, but a full ``value_and_grad`` STEP is a wash (0.98x) — the
+    custom_vjp backward re-runs the jnp forward inside ``jax.vjp``, which
+    the pure-jnp loss shares with its own forward. Use it for loss
+    evaluation/target rendering; training steps are backward-bound either
+    way."""
     if backend == "pallas":
         from .ops.pallas.soft_pallas import render_image_soft_fast
 
