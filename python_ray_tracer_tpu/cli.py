@@ -73,6 +73,9 @@ def _build(args):
 
 def _render_fn(cfg, soft_tau=0.0, scene=None, adaptive_eps=None,
                adaptive_budget=0.25):
+    """Resolve the render callable. The chosen pipeline is recorded on the
+    closure as ``fn.kind`` ("soft_pallas" | "soft_jnp" | "adaptive" |
+    "pallas" | "jnp") so callers never re-derive the dispatch decision."""
     if soft_tau > 0.0:
         if adaptive_eps is not None:
             print("[adaptive-aa] ignored: --soft renders use the soft "
@@ -88,11 +91,13 @@ def _render_fn(cfg, soft_tau=0.0, scene=None, adaptive_eps=None,
             else:
                 def fn(cam, scene):
                     return render_image_soft_pallas(cam, scene, tau=soft_tau)
+                fn.kind = "soft_pallas"
                 return fn
         from .ops.soft import render_image_soft
 
         def fn(cam, scene):
             return render_image_soft(cam, scene, tau=soft_tau)
+        fn.kind = "soft_jnp"
         return fn
     if cfg.backend == "pallas":
         if adaptive_eps is not None and cfg.aliasing:
@@ -103,6 +108,7 @@ def _render_fn(cfg, soft_tau=0.0, scene=None, adaptive_eps=None,
                                              compat=cfg.compat,
                                              eps=adaptive_eps,
                                              budget_frac=adaptive_budget)
+            fn.kind = "adaptive"
             return fn
         if adaptive_eps is not None:
             print("[adaptive-aa] ignored: requires aliasing on",
@@ -112,6 +118,7 @@ def _render_fn(cfg, soft_tau=0.0, scene=None, adaptive_eps=None,
         def fn(cam, scene):
             return render_image_pallas(cam, scene, depth=cfg.depth,
                                        aliasing=cfg.aliasing, compat=cfg.compat)
+        fn.kind = "pallas"
         return fn
     if adaptive_eps is not None:
         print("[adaptive-aa] ignored: pallas backend only", file=sys.stderr)
@@ -119,6 +126,7 @@ def _render_fn(cfg, soft_tau=0.0, scene=None, adaptive_eps=None,
     def fn(cam, scene):
         return render_image(cam, scene, depth=cfg.depth, aliasing=cfg.aliasing,
                             compat=cfg.compat, row_chunk=cfg.row_chunk)
+    fn.kind = "jnp"
     return fn
 
 
@@ -128,9 +136,7 @@ def cmd_render(args) -> int:
                     adaptive_eps=args.adaptive_aa,
                     adaptive_budget=args.adaptive_budget)
     secs = time_fn(fn, cam, scene, warmup=1, iters=5)
-    adaptive_active = (args.adaptive_aa is not None and args.soft <= 0.0
-                       and cfg.backend == "pallas" and cfg.aliasing)
-    if adaptive_active:
+    if getattr(fn, "kind", "") == "adaptive":
         # the stats variant IS the render (one extra compile, no extra
         # full pipeline run just for the report)
         from .ops.pallas.render_adaptive import render_image_adaptive

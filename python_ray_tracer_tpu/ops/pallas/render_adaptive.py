@@ -228,7 +228,7 @@ def _render_image_adaptive(camera, scene, *, depth, compat, eps, budget_frac,
     slot = jnp.arange(K, dtype=jnp.int32)
     idx = jnp.where(idx >= W * H, jnp.int32(W * H) + slot, idx)
 
-    px0 = (idx // H).astype(jnp.float32)             # sentinel -> x=W (sky)
+    px0 = (idx // H).astype(jnp.float32)     # sentinels -> x >= W (off-frame)
     py0 = (idx % H).astype(jnp.float32)
     # all NINE samples per flagged pixel (center first, reference order):
     # recomputing the center costs +1/9 kernel time and removes a K-row

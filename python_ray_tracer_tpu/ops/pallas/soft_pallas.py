@@ -309,12 +309,17 @@ def _fwd(camera, scene, tau, interpret):
 def _bwd(tau, interpret, res, g):
     camera, scene = res
     from ..soft import render_image_soft
-    # The jnp soft path materializes an f32[rows, H, K, K, 3] intermediate;
-    # with the forward cap removed, dense scenes would OOM un-chunked
-    # (100 spheres @512^2 = 31 GB). Bound it to ~1 GB via row_chunk remat.
+    # The jnp soft path materializes per-row intermediates of
+    # f32[H, K, ns, nl] (shadow alphas) and f32[H, K, K, 3] (per-object
+    # colors/weights); with the forward cap removed, dense scenes would OOM
+    # un-chunked (100 spheres / 3 lights @512^2 = 31 GB). Bound the SUM of
+    # both to ~1 GB via row_chunk remat — counting the actual light count,
+    # not a baked-in 3.
     W, H = camera.resolution
-    K = scene.spheres.count + scene.planes.count
-    per_row = max(H * K * K * 3, 1)
+    ns = scene.spheres.count
+    K = ns + scene.planes.count
+    nl = scene.lights.count
+    per_row = max(H * K * (ns * max(nl, 1) + K * 3), 1)
     chunk = max(1, min(W, (1 << 28) // per_row))   # ~256M f32 = 1 GB
     while W % chunk:
         chunk -= 1

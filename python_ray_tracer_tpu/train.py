@@ -49,14 +49,22 @@ def soft_pixel_loss(camera, target, *, tau: float = 0.05,
     the pure-jnp loss shares with its own forward. Use it for loss
     evaluation/target rendering; training steps are backward-bound either
     way."""
+    from .ops.soft import render_image_soft
+
     if backend == "pallas":
+        from .ops.pallas.render_pallas import _UNROLL_LIMIT
         from .ops.pallas.soft_pallas import render_image_soft_fast
 
         def loss(scene):
-            img = render_image_soft_fast(camera, scene, tau, interpret)
+            if scene.planes.count > _UNROLL_LIMIT:
+                # kernel keeps planes unrolled; mirror the CLI's graceful
+                # jnp fallback instead of the kernel's assert
+                img = render_image_soft(camera, scene, tau=tau,
+                                        row_chunk=row_chunk)
+            else:
+                img = render_image_soft_fast(camera, scene, tau, interpret)
             return jnp.mean((img - target) ** 2)
         return loss
-    from .ops.soft import render_image_soft
 
     def loss(scene):
         img = render_image_soft(camera, scene, tau=tau, row_chunk=row_chunk)
@@ -342,8 +350,10 @@ def fit_scene_soft(init_scene: Scene, camera, target_scene: Scene, *,
 
     def render_target(tau):
         if backend == "pallas":
-            from .ops.pallas.soft_pallas import render_image_soft_pallas
-            return render_image_soft_pallas(camera, target_scene, tau=tau)
+            from .ops.pallas.render_pallas import _UNROLL_LIMIT
+            if target_scene.planes.count <= _UNROLL_LIMIT:
+                from .ops.pallas.soft_pallas import render_image_soft_pallas
+                return render_image_soft_pallas(camera, target_scene, tau=tau)
         return render_image_soft(camera, target_scene, tau=tau)
 
     scene = init_scene

@@ -151,7 +151,7 @@ def test_soft_pixel_loss_pallas_backend_matches_jnp():
     import jax
     import numpy as np
     from python_ray_tracer_tpu import train
-    cam = rt.default_camera((16, 16))
+    cam = rt.default_camera((12, 12))
     scene = rt.default_scene()
     target = rt.render_image_soft(cam, scene, tau=0.05) * 0.9
     l_jnp = train.soft_pixel_loss(cam, target, tau=0.05)
