@@ -125,6 +125,57 @@ def run_benches(state) -> None:
     except Exception as e:
         log(f"fwd+bwd bench failed: {type(e).__name__}: {e}")
 
+    # Soft-visibility training step (the OPTIMIZATION renderer, BASELINE
+    # configs[3]): fully-fused single-kernel step (soft_bwd.py) vs XLA
+    # autodiff of the jnp soft path, at the 100-sphere 128^2 fit scale the
+    # round-4 wash was measured at.
+    try:
+        from python_ray_tracer_tpu import train
+        from python_ray_tracer_tpu.ops.pallas.soft_pallas import \
+            render_image_soft_pallas
+        from python_ray_tracer_tpu.ops.pallas.soft_bwd import \
+            soft_loss_and_grads_pallas
+        scam = rt.default_camera((128, 128))
+        sscene = rt.random_scene(jax.random.PRNGKey(0), n_spheres=100)
+        stgt = render_image_soft_pallas(scam, sscene, tau=0.05)
+        fused_soft = jax.jit(
+            lambda s: soft_loss_and_grads_pallas(scam, s, stgt, tau=0.05))
+        soft_secs = time_fn(fused_soft, sscene, warmup=2, iters=30, best_of=3)
+        soft_jnp = jax.jit(jax.value_and_grad(
+            train.soft_pixel_loss(scam, stgt, tau=0.05, backend="jnp")))
+        softj_secs = time_fn(soft_jnp, sscene, warmup=1, iters=3, best_of=2)
+        log(f"soft fused train step (100sph, 128^2): {soft_secs * 1e3:7.2f} ms "
+            f"vs jnp {softj_secs * 1e3:7.2f} ms "
+            f"({softj_secs / soft_secs:.1f}x)")
+        secondary["soft_step_ms_128_100sph"] = round(soft_secs * 1e3, 2)
+        secondary["soft_step_speedup_vs_jnp"] = round(softj_secs / soft_secs, 2)
+    except Exception as e:
+        log(f"soft train-step bench failed: {type(e).__name__}: {e}")
+
+    # Camera-pose inverse rendering at kernel speed (train.camera_value_and_grad):
+    # one fused kernel per step at 1080p.
+    try:
+        from python_ray_tracer_tpu import train
+        cscene = rt.Scene(
+            rt.Spheres.build([([2.5, 0.5, 1.0], 0.8, rt.RED),
+                              ([1.5, -0.9, 0.5], 0.5, rt.BLUE)]),
+            rt.Planes.build([([5, 0, 0], [0, 0, 1], rt.GREY)]),
+            rt.Lights.build([[2.5, -2.0, 3.0], [2.5, 2.0, 3.0]]),
+            rt.Materials.build())
+        ctgt = rt.render_image(camera, cscene, depth=1, aliasing=False,
+                               row_chunk=240)
+        cam_vg = jax.jit(train.camera_value_and_grad(cscene, ctgt, (w, h),
+                                                     depth=1))
+        cparams = {"position": jnp.asarray([-2.1, 0.08, 1.92], jnp.float32),
+                   "euler": jnp.deg2rad(jnp.asarray([1.5, -27.5, 2.0],
+                                                    jnp.float32)),
+                   "fov": jnp.float32(45.0)}
+        cam_secs = time_fn(cam_vg, cparams, warmup=2, iters=200, best_of=3)
+        log(f"camera-fit fused step @1080p:   {cam_secs * 1e3:7.2f} ms")
+        secondary["camfit_step_ms_1080p"] = round(cam_secs * 1e3, 2)
+    except Exception as e:
+        log(f"camera-fit bench failed: {type(e).__name__}: {e}")
+
 
 def main() -> int:
     budget = float(os.environ.get("RT_BENCH_BUDGET_S", "1500"))

@@ -187,28 +187,37 @@ def cmd_fit(args) -> int:
 
     cfg, scene, cam = _build(args)
     if args.mode in ("hard", "camera"):
-        # Hard-visibility gradients need a well-separated scene to converge
-        # (the crowded demo scene's silhouette-dominated loss misleads them).
-        mats = Materials.build(cfg.ambient, cfg.lambert, cfg.reflection)
-        scene = Scene(
-            Spheres.build([([2.5, 0.5, 1.0], 0.8, RED),
-                           ([1.5, -0.9, 0.5], 0.5, BLUE)]),
-            Planes.build([([5, 0, 0], [0, 0, 1], GREY)]),
-            Lights.build([[2.5, -2.0, 3.0], [2.5, 2.0, 3.0]]), mats)
+        if args.spheres > 0:
+            pass  # the user configured a specific scene: fit THAT scene
+        else:
+            # Hard-visibility gradients need a well-separated scene to
+            # converge (the crowded demo scene's silhouette-dominated loss
+            # misleads them) — say so instead of swapping silently.
+            print(f"[fit] --mode {args.mode}: using the built-in 2-sphere "
+                  f"well-separated scene (hard-visibility gradients mislead "
+                  f"on the crowded demo scene); pass --spheres N to fit a "
+                  f"scene of your own", file=sys.stderr)
+            mats = Materials.build(cfg.ambient, cfg.lambert, cfg.reflection)
+            scene = Scene(
+                Spheres.build([([2.5, 0.5, 1.0], 0.8, RED),
+                               ([1.5, -0.9, 0.5], 0.5, BLUE)]),
+                Planes.build([([5, 0, 0], [0, 0, 1], GREY)]),
+                Lights.build([[2.5, -2.0, 3.0], [2.5, 2.0, 3.0]]), mats)
     if args.mode == "camera":
         target = render_image(cam, scene, depth=cfg.depth, aliasing=False,
                               compat=cfg.compat)
         init_cam = Camera.build(cam.resolution,
                                 np.asarray(cam.position) + [0.1, -0.08, 0.08],
                                 [1.5, -27.5, 2.0], float(cam.fov))
-        if cfg.backend != "jnp":
-            print(f"note: --mode camera optimizes through the jnp autodiff "
-                  f"path; --backend {cfg.backend} is ignored here")
         logger = MetricsLogger("fit")
+        # --backend pallas runs each step as one fused kernel (render +
+        # in-kernel MSE + reverse sweep + camera adjoints) — see
+        # train.camera_value_and_grad.
         fitted, losses = train.fit_camera(init_cam, scene, target,
                                           steps=args.steps, lr=args.lr,
                                           depth=cfg.depth,
-                                          compat=cfg.compat, logger=logger)
+                                          compat=cfg.compat, logger=logger,
+                                          backend=cfg.backend)
         p0 = float(np.abs(np.asarray(init_cam.position) -
                           np.asarray(cam.position)).max())
         p1 = float(np.abs(np.asarray(fitted.position) -
@@ -227,8 +236,8 @@ def cmd_fit(args) -> int:
             center=scene.spheres.center + jnp.asarray([0.2, -0.15, 0.1])))
     logger = MetricsLogger("fit")
     if args.mode == "soft":
-        # pallas backend: fused-kernel forwards (targets + loss render); the
-        # gradients stay on the jnp soft path via the custom_vjp wrapper
+        # pallas backend: the whole step runs through the fused kernels —
+        # soft forward (soft_pallas) + hand-derived adjoint (soft_bwd)
         soft_backend = "pallas" if cfg.backend == "pallas" else "jnp"
         fitted, losses = train.fit_scene_soft(init, cam, scene, steps=args.steps,
                                               lr=args.lr, logger=logger,

@@ -26,7 +26,9 @@ Scope (fall back to XLA autodiff otherwise — see ``scene_grads``):
     clean mode Phong specular/shininess) plus, via ``return_camera=True``, the
     camera (position/rotation/fov);
   * no-AA or 9x-AA (per-sample grid axis), any static depth;
-  * unrolled plane/light counts (<= 16); spheres may be rolled (any count).
+  * unrolled light counts (<= 16); spheres AND planes may be rolled (any
+    count — plane folds switch to chunk-unrolled ``fori_loop`` with dynamic
+    SMEM gradient stores above the limit, same machinery as spheres).
 
 Gradient layout (flat f32 vector): ``[spheres (7*Ns: cx,cy,cz,r,ar,ag,ab)...,
 planes (9*Np: ox,oy,oz,nx,ny,nz,ar,ag,ab)..., lights (3*Nl)..., amb, lamb,
@@ -72,6 +74,12 @@ def _norm_adj(u, rn, ubar):
     bx, by, bz = ubar
     dot = ux * bx + uy * by + uz * bz
     return (rn * (bx - ux * dot), rn * (by - uy * dot), rn * (bz - uz * dot))
+
+
+def _jf32(j, off=0):
+    """Static-or-traced object index -> f32 (for ``hit_obj`` compares)."""
+    return (jnp.float32(off + j) if isinstance(j, int)
+            else (off + j).astype(jnp.float32))
 
 
 def _fold_spheres(ns, body, carry):
@@ -204,7 +212,8 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
         else:
             t, hit_obj = _fold_spheres_culled(ns, _ch_body, (t, hit_obj),
                                               cull)
-        for j in range(npl):
+        def _ch_pln(j, carry):
+            t, hit_obj = carry
             nx, ny, nz = pln[3, j], pln[4, j], pln[5, j]
             den = dx * nx + dy * ny + dz * nz
             den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
@@ -215,7 +224,9 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
             valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
             closer = valid & (t_j < t)
             t = jnp.where(closer, t_j, t)
-            hit_obj = jnp.where(closer, jnp.float32(ns + j), hit_obj)
+            hit_obj = jnp.where(closer, _jf32(j, ns), hit_obj)
+            return t, hit_obj
+        t, hit_obj = _fold_objects(npl, _ch_pln, (t, hit_obj))
 
     alive = hit_obj >= 0.0
     ts = jnp.where(alive, t, 0.0)
@@ -259,8 +270,9 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
     else:
         ar, ag, ab, qx, qy, qz = _fold_spheres_culled(
             ns, _attr_body, (ar, ag, ab, qx, qy, qz), cull)
-    for j in range(npl):
-        m = (hit_obj == ns + j).astype(jnp.float32)
+    def _attr_pln(j, carry):
+        ar, ag, ab, qx, qy, qz, is_pl = carry
+        m = (hit_obj == _jf32(j, ns)).astype(jnp.float32)
         ar += m * pln[6, j]
         ag += m * pln[7, j]
         ab += m * pln[8, j]
@@ -268,6 +280,9 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
         qy += m * pln[4, j]
         qz += m * pln[5, j]
         is_pl += m
+        return ar, ag, ab, qx, qy, qz, is_pl
+    ar, ag, ab, qx, qy, qz, is_pl = _fold_objects(
+        npl, _attr_pln, (ar, ag, ab, qx, qy, qz, is_pl))
 
     plane_hit = is_pl > 0.5
     vx, vy, vz = Px - qx, Py - qy, Pz - qz
@@ -366,10 +381,12 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
             return tuple(out)
         occs = list(_fold_spheres(ns, _occ_body, tuple(occs)))
         eps = 1e-3 if compat else 1e-8
-        for j in range(npl):
+
+        def _occ_pln(j, occs):
             pnx, pny, pnz = pln[3, j], pln[4, j], pln[5, j]
             num = ((pln[0, j] - Pbx) * pnx + (pln[1, j] - Pby) * pny +
                    (pln[2, j] - Pbz) * pnz)
+            out = []
             for l, (Lx, Ly, Lz) in enumerate(dirs):
                 den = Lx * pnx + Ly * pny + Lz * pnz
                 den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
@@ -377,7 +394,9 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
                 valid = (jnp.abs(den) >= eps) & (t_j > 0.0)
                 if compat:
                     valid &= t_j < FAR
-                occs[l] = jnp.maximum(occs[l], valid.astype(jnp.float32))
+                out.append(jnp.maximum(occs[l], valid.astype(jnp.float32)))
+            return tuple(out)
+        occs = list(_fold_objects(npl, _occ_pln, tuple(occs)))
     lam_sum = zeros
     light_res = []
     for l in range(nl):
@@ -425,8 +444,8 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
 
 
 def _bwd_trace(params, sph, ns, pln, npl, lts, nl, res, gbar, obar_next,
-               dbar_next, acc, acc_sph, *, compat, cull=None, grp=None,
-               grp_refs=None):
+               dbar_next, acc, acc_sph, acc_pln, *, compat, cull=None,
+               grp=None, grp_refs=None):
     """Reverse sweep of one trace.
 
     ``gbar``: (gr, gg, gb) cotangent on this trace's rgb output.
@@ -626,8 +645,9 @@ def _bwd_trace(params, sph, ns, pln, npl, lts, nl, res, gbar, obar_next,
         obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z = _fold_spheres_culled(
             ns, _sph_bwd, (obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z),
             cull)
-    for j in range(npl):
-        m = ((hit_obj == ns + j) & res["alive"]).astype(jnp.float32)
+    def _pln_bwd(j, carry):
+        obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z = carry
+        m = ((hit_obj == _jf32(j, ns)) & res["alive"]).astype(jnp.float32)
         mt = m * tbar
         pnx, pny, pnz = pln[3, j], pln[4, j], pln[5, j]
         den = dx * pnx + dy * pny + dz * pnz
@@ -636,24 +656,28 @@ def _bwd_trace(params, sph, ns, pln, npl, lts, nl, res, gbar, obar_next,
         num_bar = mt * inv_den
         den_bar = -mt * t * inv_den
         p0x, p0y, p0z = pln[0, j], pln[1, j], pln[2, j]
-        acc(("pln", j, 0), pnx * num_bar)
-        acc(("pln", j, 1), pny * num_bar)
-        acc(("pln", j, 2), pnz * num_bar)
+        acc_pln(j, 0, pnx * num_bar)
+        acc_pln(j, 1, pny * num_bar)
+        acc_pln(j, 2, pnz * num_bar)
         obar_x -= pnx * num_bar
         obar_y -= pny * num_bar
         obar_z -= pnz * num_bar
         nb_x = (p0x - ox) * num_bar + dx * den_bar + m * pn_bar[0]
         nb_y = (p0y - oy) * num_bar + dy * den_bar + m * pn_bar[1]
         nb_z = (p0z - oz) * num_bar + dz * den_bar + m * pn_bar[2]
-        acc(("pln", j, 3), nb_x)
-        acc(("pln", j, 4), nb_y)
-        acc(("pln", j, 5), nb_z)
+        acc_pln(j, 3, nb_x)
+        acc_pln(j, 4, nb_y)
+        acc_pln(j, 5, nb_z)
         dbar_x += pnx * den_bar
         dbar_y += pny * den_bar
         dbar_z += pnz * den_bar
-        acc(("pln", j, 6), m * abar[0])
-        acc(("pln", j, 7), m * abar[1])
-        acc(("pln", j, 8), m * abar[2])
+        acc_pln(j, 6, m * abar[0])
+        acc_pln(j, 7, m * abar[1])
+        acc_pln(j, 8, m * abar[2])
+        return obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z
+
+    obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z = _fold_objects(
+        npl, _pln_bwd, (obar_x, obar_y, obar_z, dbar_x, dbar_y, dbar_z))
 
     return (obar_x, obar_y, obar_z), (dbar_x, dbar_y, dbar_z)
 
@@ -788,6 +812,15 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
             # and accumulate straight into the SMEM output at a traced index.
             def acc_sph(j, c, vec):
                 out_ref[j * 7 + c] += _vsum(vec)
+
+        if npl <= _UNROLL_LIMIT:
+            def acc_pln(j, c, vec):
+                acc(("pln", j, c), vec)
+        else:
+            # Rolled planes (same machinery as rolled spheres; plane slots
+            # start right after the sphere block — grad_layout order).
+            def acc_pln(j, c, vec):
+                out_ref[7 * ns + j * 9 + c] += _vsum(vec)
 
         fu_l = (i * TW).astype(jnp.float32)
         fv_l = (j * TH).astype(jnp.float32)
@@ -927,7 +960,7 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                 gbar = (w * gr_img, w * gg_img, w * gb_img)
                 obar, dbar = _bwd_trace(params, sph, ns, pln, npl, lts, nl,
                                         tr["res"], gbar, obar, dbar, acc,
-                                        acc_sph, compat=compat,
+                                        acc_sph, acc_pln, compat=compat,
                                         cull=cull if tr["bounce"] == 0 else None,
                                         grp=grp if tr["bounce"] > 0 else None,
                                         grp_refs=gr_v)
@@ -1201,8 +1234,8 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     W, H = camera.resolution
     W_out = W if local_width is None else local_width
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
-    assert npl <= _UNROLL_LIMIT and nl <= _UNROLL_LIMIT, (
-        "fused backward needs unrolled plane/light counts")
+    assert nl <= _UNROLL_LIMIT, (
+        "fused backward needs an unrolled light count")
     params = _pack_params(camera, scene, compat, x_offset)
     sph = jnp.concatenate([
         scene.spheres.center.T.astype(jnp.float32),
@@ -1265,7 +1298,8 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     grouped = ((group_cull if group_cull is not None
                 else (_GROUP_CULL_AUTO and not interpret
                       and ns >= _GROUP_MIN_NS))
-               and ns > _UNROLL_LIMIT and depth > 0 and nl <= 8)
+               and ns > _UNROLL_LIMIT and depth > 0 and nl <= 8
+               and npl <= _UNROLL_LIMIT)  # grouped shadow sweep unrolls planes
     if grouped:
         grp_perm, grp_bnd = _sphere_groups(
             scene.spheres.center.astype(jnp.float32),
@@ -1328,6 +1362,15 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
         interpret=interpret,
     )(*args)
 
+    return unflatten_grads(flat, ns, npl, nl, camera,
+                           return_camera=return_camera, fused_loss=fused_loss)
+
+
+def unflatten_grads(flat, ns, npl, nl, camera, *, return_camera, fused_loss):
+    """Flat SMEM gradient vector (``grad_layout`` order, + trailing loss slot
+    when ``fused_loss``) -> scene / camera gradient pytrees. Shared by the hard
+    (this module) and soft (soft_bwd.py) fused backward kernels."""
+    n_grads = flat.shape[0]
     loss = flat[n_grads - 1] if fused_loss else None
     sph_g = flat[:7 * ns].reshape(ns, 7) if ns else jnp.zeros((0, 7))
     off = 7 * ns

@@ -2067,16 +2067,17 @@ def _fwd(camera, scene, depth, aliasing, compat):
 
 def _bwd(depth, aliasing, compat, res, g):
     camera, scene = res
-    npl, nl = scene.planes.count, scene.lights.count
-    if npl <= _UNROLL_LIMIT and nl <= _UNROLL_LIMIT:
+    nl = scene.lights.count
+    if nl <= _UNROLL_LIMIT:
         # Fully fused backward (hand-derived adjoints incl. camera; AA via a
-        # per-sample grid axis; rolled sphere loops for large scenes).
+        # per-sample grid axis; rolled sphere AND plane loops for large
+        # scenes).
         from .render_bwd import scene_grads_pallas
         scene_g, cam_g = scene_grads_pallas(camera, scene, g, depth=depth,
                                             compat=compat, return_camera=True,
                                             aliasing=aliasing)
         return cam_g, scene_g
-    # Exotic plane/light counts: XLA autodiff of the jnp path.
+    # Exotic light counts: XLA autodiff of the jnp path.
     from ..render import render_image
     _, vjp = jax.vjp(lambda c, s: render_image(c, s, depth=depth,
                                                aliasing=aliasing, compat=compat),

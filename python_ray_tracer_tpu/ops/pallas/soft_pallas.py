@@ -295,8 +295,10 @@ def render_image_soft_pallas(camera, scene, *, tau=0.05, tile_w: int = 40,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def render_image_soft_fast(camera, scene, tau: float = 0.05,
                            interpret: bool = False):
-    """Pallas soft forward + jnp-autodiff backward (training renders the loss
-    with kernel-speed forward; gradients via the jnp soft path)."""
+    """Pallas soft forward + fused Pallas backward (soft_bwd.py): the whole
+    soft ``value_and_grad`` runs at kernel speed. Round 4's jnp-vjp backward
+    made the training step a wash (199 vs 196 ms at 100 spheres / 128^2); the
+    hand-derived adjoint kernel replaces it."""
     return render_image_soft_pallas(camera, scene, tau=tau,
                                     interpret=interpret)
 
@@ -308,26 +310,11 @@ def _fwd(camera, scene, tau, interpret):
 
 def _bwd(tau, interpret, res, g):
     camera, scene = res
-    from ..soft import render_image_soft
-    # The jnp soft path materializes per-row intermediates of
-    # f32[H, K, ns, nl] (shadow alphas) and f32[H, K, K, 3] (per-object
-    # colors/weights); with the forward cap removed, dense scenes would OOM
-    # un-chunked (100 spheres / 3 lights @512^2 = 31 GB). Bound the SUM of
-    # both to ~1 GB via row_chunk remat — counting the actual light count,
-    # not a baked-in 3.
-    W, H = camera.resolution
-    ns = scene.spheres.count
-    K = ns + scene.planes.count
-    nl = scene.lights.count
-    per_row = max(H * K * (ns * max(nl, 1) + K * 3), 1)
-    chunk = max(1, min(W, (1 << 28) // per_row))   # ~256M f32 = 1 GB
-    while W % chunk:
-        chunk -= 1
-    rc = None if chunk >= W else chunk
-    _, vjp = jax.vjp(lambda c, s: render_image_soft(c, s, tau=tau,
-                                                    row_chunk=rc),
-                     camera, scene)
-    return vjp(g)
+    from .soft_bwd import soft_scene_grads_pallas
+    scene_g, camera_g = soft_scene_grads_pallas(camera, scene, g, tau=tau,
+                                                interpret=interpret,
+                                                return_camera=True)
+    return camera_g, scene_g
 
 
 render_image_soft_fast.defvjp(_fwd, _bwd)

@@ -41,14 +41,11 @@ def soft_pixel_loss(camera, target, *, tau: float = 0.05,
     The target should be produced by :func:`soft_pixel_target` (same renderer) so
     the residual isn't dominated by the soft/hard appearance gap.
 
-    ``backend="pallas"`` renders the forward with the fused soft kernel
-    (gradients still come from the jnp path via its custom_vjp). Measured
-    honestly on chip (100 spheres, 128^2): forward-only evaluation is 5-6x
-    faster, but a full ``value_and_grad`` STEP is a wash (0.98x) — the
-    custom_vjp backward re-runs the jnp forward inside ``jax.vjp``, which
-    the pure-jnp loss shares with its own forward. Use it for loss
-    evaluation/target rendering; training steps are backward-bound either
-    way."""
+    ``backend="pallas"`` runs the WHOLE ``value_and_grad`` at kernel speed:
+    forward via the fused soft kernel, backward via its custom_vjp's
+    hand-derived adjoint kernel (ops/pallas/soft_bwd.py). Round 4's jnp-vjp
+    backward made the step a wash (199 vs 196 ms at 100 spheres / 128^2);
+    the fused backward removes the jnp re-render entirely."""
     from .ops.soft import render_image_soft
 
     if backend == "pallas":
@@ -263,10 +260,49 @@ def fit_scene(init_scene: Scene, camera, target, *, steps: int = 200,
     return scene, losses
 
 
+def camera_value_and_grad(scene, target, resolution, *, depth: int = 1,
+                          compat: bool = True, aliasing: bool = False,
+                          cheap_shadow: Optional[bool] = None,
+                          interpret: bool = False):
+    """``params -> (loss, grads)`` for CAMERA-pose inverse rendering through
+    the fused Mosaic kernels (ops/pallas/render_bwd.py ``return_camera``).
+
+    ``params`` is :func:`fit_camera`'s pytree ``{position, euler, fov}``; the
+    rotation-matrix cotangent from the kernel is chained to Euler angles with
+    ``jax.vjp`` of ``euler_rotation`` (a 3x3 host-side Jacobian — negligible
+    next to the render). One fused kernel per step: forward render, in-kernel
+    MSE against ``target``, reverse sweep, camera adjoints.
+    """
+    from .models.camera import Camera, euler_rotation
+    from .ops.pallas.render_bwd import loss_and_scene_grads_pallas
+    from .ops.pallas.render_pallas import _shadow_cheap_ok
+
+    if cheap_shadow is None:
+        cheap_shadow = _shadow_cheap_ok(scene, compat)
+
+    def vg(p):
+        cam = Camera(position=p["position"],
+                     rotation=euler_rotation(p["euler"][0], p["euler"][1],
+                                             p["euler"][2], is_radians=True),
+                     fov=p["fov"], resolution=resolution)
+        loss, _scene_g, cam_g = loss_and_scene_grads_pallas(
+            cam, scene, target, depth=depth, compat=compat, aliasing=aliasing,
+            cheap_shadow=cheap_shadow, return_camera=True, interpret=interpret)
+        _, vjp_e = jax.vjp(
+            lambda e: euler_rotation(e[0], e[1], e[2], is_radians=True),
+            p["euler"])
+        (euler_g,) = vjp_e(cam_g.rotation)
+        return loss, {"position": cam_g.position, "euler": euler_g,
+                      "fov": cam_g.fov}
+
+    return vg
+
+
 def fit_camera(init_camera, scene, target, *, steps: int = 300,
                lr: float = 1e-2, depth: int = 1, aliasing: bool = False,
                compat: bool = True, fit_fov: bool = False,
-               logger: Optional[MetricsLogger] = None, log_every: int = 20):
+               logger: Optional[MetricsLogger] = None, log_every: int = 20,
+               backend: str = "jnp", pallas_interpret: bool = False):
     """Inverse rendering w.r.t. the CAMERA: recover pose from a target image.
 
     The dual of :func:`fit_scene` (scene fixed, camera free) — a capability the
@@ -281,6 +317,11 @@ def fit_camera(init_camera, scene, target, *, steps: int = 300,
     ``init_camera``'s rotation is assumed to come from ``Camera.build`` /
     ``euler_rotation``; the initial Euler angles are re-derived from the matrix
     (ZYX convention, reference rotation.py:34-43).
+
+    ``backend="pallas"`` runs each step as ONE fused kernel (render + in-kernel
+    MSE + reverse sweep + camera adjoints — :func:`camera_value_and_grad`)
+    instead of XLA autodiff of the jnp path; gradients match the jnp path to
+    f32 tolerance (tests/test_train.py).
 
     Returns ``(fitted_camera, losses)``.
     """
@@ -312,12 +353,19 @@ def fit_camera(init_camera, scene, target, *, steps: int = 300,
                            compat=compat)
         return jnp.mean((img - target) ** 2)
 
+    if backend == "pallas":
+        vg = camera_value_and_grad(scene, target, resolution, depth=depth,
+                                   compat=compat, aliasing=aliasing,
+                                   interpret=pallas_interpret)
+    else:
+        vg = jax.value_and_grad(loss_fn)
+
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
 
     @jax.jit
     def step(p, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(p)
+        loss, grads = vg(p)
         if not fit_fov:
             grads = {**grads, "fov": jnp.zeros_like(grads["fov"])}
         updates, opt_state = optimizer.update(grads, opt_state, p)
@@ -337,14 +385,14 @@ def fit_scene_soft(init_scene: Scene, camera, target_scene: Scene, *,
                    taus: Sequence[float] = (0.15, 0.05, 0.02),
                    trainable: Optional[Sequence[str]] = ("spheres.center",),
                    logger: Optional[MetricsLogger] = None,
-                   backend: str = "jnp"):
+                   backend: str = "jnp", interpret: bool = False):
     """Coarse-to-fine soft-visibility fitting (anneal ``tau`` toward hard).
 
     At each ``tau`` the *target* is re-rendered from ``target_scene`` with the same
     softness, so only geometry/material mismatch drives the loss. Robust where the
     hard a.e. gradient misleads (overlapping silhouettes — see ops/soft.py).
-    ``backend="pallas"`` renders forwards (targets + loss) with the fused soft
-    kernel; gradients stay on the jnp path. Returns ``(scene, losses)``.
+    ``backend="pallas"`` runs forward AND backward through the fused Mosaic
+    kernels (soft_pallas + soft_bwd). Returns ``(scene, losses)``.
     """
     from .ops.soft import render_image_soft
 
@@ -353,17 +401,33 @@ def fit_scene_soft(init_scene: Scene, camera, target_scene: Scene, *,
             from .ops.pallas.render_pallas import _UNROLL_LIMIT
             if target_scene.planes.count <= _UNROLL_LIMIT:
                 from .ops.pallas.soft_pallas import render_image_soft_pallas
-                return render_image_soft_pallas(camera, target_scene, tau=tau)
+                return render_image_soft_pallas(camera, target_scene, tau=tau,
+                                                interpret=interpret)
         return render_image_soft(camera, target_scene, tau=tau)
+
+    from .ops.pallas.render_pallas import _UNROLL_LIMIT
+    use_fused = (backend == "pallas"
+                 and init_scene.planes.count <= _UNROLL_LIMIT
+                 and init_scene.lights.count <= _UNROLL_LIMIT)
 
     scene = init_scene
     losses = []
     per_stage = max(1, steps // len(taus))
     for tau in taus:
         target = render_target(tau)
-        loss_fn = soft_pixel_loss(camera, target, tau=tau, backend=backend)
         optimizer = optax.adam(lr)
-        step = make_train_step(loss_fn, optimizer, trainable)
+        if use_fused:
+            # the whole step is ONE kernel: soft forward + in-register MSE +
+            # hand-derived reverse sweep (ops/pallas/soft_bwd.py)
+            from .ops.pallas.soft_bwd import soft_loss_and_grads_pallas
+            vg = (lambda tgt, tu: lambda s: soft_loss_and_grads_pallas(
+                camera, s, tgt, tau=tu, interpret=interpret))(target, tau)
+            step = make_train_step(None, optimizer, trainable,
+                                   value_and_grad=vg)
+        else:
+            loss_fn = soft_pixel_loss(camera, target, tau=tau, backend=backend,
+                                      interpret=interpret)
+            step = make_train_step(loss_fn, optimizer, trainable)
         opt_state = optimizer.init(scene)
         for i in range(per_stage):
             scene, opt_state, loss = step(scene, opt_state)

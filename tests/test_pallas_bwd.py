@@ -393,10 +393,12 @@ def _cull_fold_case(n_spheres, cam_pos, K=None, seed=3, euler=(0, -20, 0)):
             accd[str(slot)] = accd.get(str(slot), 0.0) + vec
         def acc_sph(j, c, vec):   # ref stores in the kernel; masked zeros for
             pass                  # invisible spheres via the same m/mt factors
+        def acc_pln(j, c, vec):   # plane slots route through acc_pln now
+            acc(("pln", j, c), vec)
         zero3 = (jnp.zeros(shape_w, jnp.float32),)*3
         obar, dbar = rb._bwd_trace(params, sph, ns, pln, npl, lts, nl, res,
                                    (g[0], g[1], g[2]), zero3, zero3, acc,
-                                   acc_sph, compat=compat, cull=cu)
+                                   acc_sph, acc_pln, compat=compat, cull=cu)
         return rgb, res["t"], res["hit_obj"], accd, obar, dbar
     return run(cull_on=True), run(cull_on=False), np.asarray(vis_cnt)
 
@@ -950,3 +952,47 @@ def test_fused_loss_sharded_slices_sum():
                        jax.tree_util.tree_leaves(gh)):
         np.testing.assert_allclose(np.asarray(b) + np.asarray(c),
                                    np.asarray(a), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow  # 45 s: 32 unrolled-in-jnp planes dominate the trace
+def test_bwd_rolled_planes_matches_autodiff():
+    """npl = 32 > _UNROLL_LIMIT: the plane folds run chunk-unrolled with
+    dynamic SMEM gradient stores (VERDICT r4 missing #3 — the forward already
+    rolled planes, the backward asserted npl <= 16)."""
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 4)
+    npl = 32
+    # tilted planes far enough not to cut the camera; small random tilts keep
+    # den away from the eps gates
+    origins = jnp.stack([
+        jnp.full((npl,), 8.0) + jax.random.uniform(ks[0], (npl,)) * 4.0,
+        jax.random.uniform(ks[1], (npl,), minval=-2.0, maxval=2.0),
+        jnp.zeros((npl,)),
+    ], axis=-1)
+    normals = jnp.stack([
+        -jnp.ones((npl,)),
+        jax.random.uniform(ks[2], (npl,), minval=-0.3, maxval=0.3),
+        jax.random.uniform(ks[3], (npl,), minval=-0.3, maxval=0.3),
+    ], axis=-1)
+    albedo = jax.random.uniform(jax.random.PRNGKey(12), (npl, 3),
+                                minval=0.2, maxval=1.0)
+    scene = rt.Scene(
+        rt.Spheres.build([([3.0, 0.5, 1.0], 0.8, rt.RED),
+                          ([2.0, -0.9, 0.5], 0.5, rt.BLUE)]),
+        rt.Planes(origin=origins.astype(jnp.float32),
+                  normal=normals.astype(jnp.float32),
+                  albedo=albedo.astype(jnp.float32)),
+        rt.Lights.build([[2.5, -2.0, 3.0], [2.5, 2.0, 3.0]]),
+        rt.Materials.build())
+    cam = rt.default_camera((16, 16))
+    g_ker, g_ref = _grads(cam, scene, depth=1)
+    for a, b in [(g_ker.planes.albedo, g_ref.planes.albedo),
+                 (g_ker.planes.origin, g_ref.planes.origin),
+                 (g_ker.planes.normal, g_ref.planes.normal)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-7)
+    for a, b in [(g_ker.spheres.center, g_ref.spheres.center),
+                 (g_ker.lights.position, g_ref.lights.position)]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+        assert rel < 5e-2, rel

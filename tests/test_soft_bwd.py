@@ -1,0 +1,171 @@
+"""Fused soft-visibility backward kernel (ops/pallas/soft_bwd.py): gradient
+parity vs XLA autodiff of the jnp soft path, unrolled and rolled, plus the
+fused-loss training-step form and the custom_vjp routing."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import python_ray_tracer_tpu as rt
+from python_ray_tracer_tpu.ops.soft import render_image_soft
+from python_ray_tracer_tpu.ops.pallas.soft_bwd import (
+    soft_scene_grads_pallas, soft_loss_and_grads_pallas)
+
+TAU = 0.08
+
+
+def _scene_small():
+    return rt.Scene(
+        rt.Spheres.build([([3.0, 0.2, 0.5], 0.8, rt.RED),
+                          ([4.0, -0.6, 0.2], 0.6, rt.GREEN),
+                          ([5.0, 0.9, -0.3], 1.0, rt.BLUE)]),
+        rt.Planes.build([([0.0, 0.0, -1.2], [0.0, 0.0, 1.0], rt.GREY),
+                         ([12.0, 0.0, 0.0], [-1.0, 0.1, 0.05], rt.YELLOW)]),
+        rt.Lights.build([[0.0, 3.0, 5.0], [-2.0, -4.0, 6.0]]),
+        rt.Materials.build(ambient=0.15, lambert=0.7))
+
+
+def _assert_scene_grads_close(got, want, rtol=5e-3, atol=5e-6):
+    pairs = [
+        ("spheres.center", got.spheres.center, want.spheres.center),
+        ("spheres.radius", got.spheres.radius, want.spheres.radius),
+        ("spheres.albedo", got.spheres.albedo, want.spheres.albedo),
+        ("planes.origin", got.planes.origin, want.planes.origin),
+        ("planes.normal", got.planes.normal, want.planes.normal),
+        ("planes.albedo", got.planes.albedo, want.planes.albedo),
+        ("lights.position", got.lights.position, want.lights.position),
+        ("materials.ambient", got.materials.ambient, want.materials.ambient),
+        ("materials.lambert", got.materials.lambert, want.materials.lambert),
+    ]
+    for name, a, b in pairs:
+        # scale atol by the leaf's own magnitude (grads span orders of
+        # magnitude; reassociation noise is relative to the accumulated sum)
+        scale = max(float(jnp.max(jnp.abs(b))), 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol,
+                                   atol=atol * scale, err_msg=name)
+    # the soft scope has no mirror bounces / Phong: those slots must be zero
+    assert float(got.materials.reflection) == 0.0
+    assert float(got.materials.specular) == 0.0
+
+
+def test_soft_bwd_matches_jnp_vjp_small():
+    """Unrolled scene: kernel grads == jax.vjp of the jnp path, incl. camera."""
+    cam = rt.default_camera((24, 16))
+    scene = _scene_small()
+    g = jax.random.normal(jax.random.PRNGKey(0), (24, 16, 3), jnp.float32)
+    _, vjp = jax.vjp(lambda c, s: render_image_soft(c, s, tau=TAU), cam, scene)
+    cam_j, scn_j = vjp(g)
+    scn_k, cam_k = soft_scene_grads_pallas(cam, scene, g, tau=TAU,
+                                           interpret=True, return_camera=True)
+    _assert_scene_grads_close(scn_k, scn_j)
+    np.testing.assert_allclose(np.asarray(cam_k.position),
+                               np.asarray(cam_j.position), rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cam_k.rotation),
+                               np.asarray(cam_j.rotation), rtol=5e-3,
+                               atol=1e-3)
+    # fov is a heavily-cancelling lane sum: absolute tolerance only
+    np.testing.assert_allclose(np.asarray(cam_k.fov), np.asarray(cam_j.fov),
+                               atol=3e-5)
+
+
+@pytest.mark.slow  # ~5 min: chunked-fold interpret trace at ns=30
+def test_soft_bwd_matches_jnp_vjp_rolled():
+    """ns=30 > _UNROLL_LIMIT: chunk-unrolled fori folds with dynamic SMEM
+    gradient accumulation."""
+    cam = rt.default_camera((16, 16))
+    scene = rt.random_scene(jax.random.PRNGKey(3), n_spheres=30)
+    g = jax.random.normal(jax.random.PRNGKey(1), (16, 16, 3), jnp.float32)
+    _, vjp = jax.vjp(lambda c, s: render_image_soft(c, s, tau=TAU), cam, scene)
+    _, scn_j = vjp(g)
+    scn_k = soft_scene_grads_pallas(cam, scene, g, tau=TAU, interpret=True)
+    _assert_scene_grads_close(scn_k, scn_j)
+
+
+def test_soft_bwd_fused_loss_step():
+    """Fused single-kernel training step: loss == jnp MSE, grads == jax.grad."""
+    cam = rt.default_camera((24, 16))
+    scene = _scene_small()
+    target = jax.random.uniform(jax.random.PRNGKey(2), (24, 16, 3), jnp.float32)
+
+    def loss_jnp(s):
+        return jnp.mean((render_image_soft(cam, s, tau=TAU) - target) ** 2)
+
+    l_j, g_j = jax.value_and_grad(loss_jnp)(scene)
+    l_k, g_k = soft_loss_and_grads_pallas(cam, scene, target, tau=TAU,
+                                          interpret=True)
+    np.testing.assert_allclose(float(l_k), float(l_j), rtol=1e-5)
+    _assert_scene_grads_close(g_k, g_j)
+
+
+@pytest.mark.slow  # the fit test covers the same routing end-to-end
+def test_soft_fast_custom_vjp_routes_through_kernel():
+    """render_image_soft_fast's backward is the fused kernel (not jnp-vjp) and
+    still matches XLA autodiff of the jnp path through an arbitrary loss."""
+    from python_ray_tracer_tpu.ops.pallas.soft_pallas import (
+        render_image_soft_fast)
+    cam = rt.default_camera((24, 16))
+    scene = _scene_small()
+    w = jax.random.normal(jax.random.PRNGKey(4), (24, 16, 3), jnp.float32)
+
+    def loss_fast(s):
+        return jnp.sum(render_image_soft_fast(cam, s, TAU, True) * w)
+
+    def loss_jnp(s):
+        return jnp.sum(render_image_soft(cam, s, tau=TAU) * w)
+
+    g_f = jax.grad(loss_fast)(scene)
+    g_j = jax.grad(loss_jnp)(scene)
+    _assert_scene_grads_close(g_f, g_j)
+
+
+def test_soft_bwd_degenerate_occlusion_no_nans():
+    """Saturated coverage (deep occlusion -> sigmoid == 1.0 in f32) and an
+    opaque plane in front (exact zero compositing factor) poison no adjoints:
+    the sigmoid-fused adjoint identities are exact at both extremes."""
+    cam = rt.default_camera((16, 16))
+    scene = rt.Scene(
+        # big sphere dead ahead fully occluding a second one behind it
+        rt.Spheres.build([([3.0, 0.0, 0.0], 1.4, rt.RED),
+                          ([8.0, 0.0, 0.0], 1.0, rt.GREEN)]),
+        # plane right in front of the camera: w == 0 for everything behind
+        rt.Planes.build([([1.0, 0.0, 0.0], [-1.0, 0.0, 0.0], rt.GREY)]),
+        rt.Lights.build([[0.0, 0.0, 8.0]]),
+        rt.Materials.build(ambient=0.2, lambert=0.6))
+    g = jnp.ones((16, 16, 3), jnp.float32)
+    scn_k, cam_k = soft_scene_grads_pallas(cam, scene, g, tau=0.02,
+                                           interpret=True, return_camera=True)
+    for leaf in jax.tree_util.tree_leaves((scn_k, cam_k)):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # parity with jnp autodiff at the degenerate point too
+    _, vjp = jax.vjp(lambda c, s: render_image_soft(c, s, tau=0.02), cam, scene)
+    _, scn_j = vjp(g)
+    _assert_scene_grads_close(scn_k, scn_j)
+
+
+def test_soft_fit_scene_pallas_backend_converges():
+    """fit_scene_soft(backend="pallas") pulls the whole step through the
+    kernels (forward via soft_pallas, backward via soft_bwd) and still
+    recovers a perturbed sphere center."""
+    from python_ray_tracer_tpu import train
+    cam = rt.default_camera((32, 32))
+    target_scene = rt.Scene(
+        rt.Spheres.build([([4.0, 0.0, 0.8], 1.0, rt.RED)]),
+        rt.Planes.build([([0.0, 0.0, -1.0], [0.0, 0.0, 1.0], rt.GREY)]),
+        rt.Lights.build([[0.0, 2.0, 6.0]]),
+        rt.Materials.build(ambient=0.3, lambert=0.6))
+    init = dataclasses.replace(
+        target_scene,
+        spheres=dataclasses.replace(
+            target_scene.spheres,
+            center=target_scene.spheres.center + jnp.asarray([[0.0, 0.9, 0.4]])))
+    fitted, losses = train.fit_scene_soft(
+        init, cam, target_scene, steps=40, lr=5e-2,
+        taus=(0.15, 0.05), trainable=("spheres.center",), backend="pallas",
+        interpret=True)
+    err0 = float(jnp.abs(init.spheres.center
+                         - target_scene.spheres.center).max())
+    err1 = float(jnp.abs(fitted.spheres.center
+                         - target_scene.spheres.center).max())
+    assert err1 < 0.35 * err0, (err0, err1)
