@@ -1,39 +1,89 @@
-"""Empirical VPU speed-of-light comparator for the fused render kernel.
+"""Speed-of-light comparator for the fused render kernel: FMA-only AND
+instruction-mix-aware bounds (VERDICT r4 weak #3 / next #5).
 
-Honest headroom accounting in three measured pieces (no datasheet numbers):
+The r2-r4 bound priced the whole kernel at the synthetic FMA rate, which
+ignores that the real instruction stream is ~1/3 selects/compares/converts and
+carries sqrt/rsqrt/div — so "0.11 of sol" could mean 9x headroom or none.
+This version builds a defensible mix bound in three measured pieces:
 
-1. **Work estimate** — XLA's own ``cost_analysis()`` flop count for the jnp
-   render path at the demo config. The fused kernel does the same math minus
-   XLA's inability to share AA samples, so this is an upper bound on the
-   kernel's useful flops (the kernel also does *fewer* via the cone cull /
-   early exits on dense scenes; on the 6-sphere demo they are equivalent).
-2. **Machine rate** — a synthetic Pallas kernel at the render kernel's exact
-   tile shape (40, 128) and grid (1080p) running a pure serial FMA chain from
-   SMEM-held coefficients (not constant-foldable). Two chain lengths are
-   measured and differenced, cancelling the fixed grid/launch/load overhead:
-   the slope is seconds per FMA per element -> achieved VPU flops/s at this
-   occupancy.
-3. **Light-speed bound** = flops(1) / rate(2), vs the measured render time.
+1. **Instruction mix** — walk the *actual kernel jaxpr* (the ``pallas_call``
+   eqn's inner jaxpr, recursing through wrapper eqns) and count VECTOR ops by
+   class, keyed on the eqn output aval shape so SMEM scalar math (which runs
+   on the scalar core, overlapped) is excluded. This is the per-grid-step op
+   stream Mosaic lowers, modulo its own fusion/CSE.
+2. **Per-class issue rates** — differenced serial-dependence Pallas chains at
+   the render kernel's exact tile/grid, one chain per class (fma, select,
+   compare, sqrt, rsqrt, div): two chain lengths, slope = seconds per op per
+   element, fixed overhead cancelled. The ALU classes (mul/add/sub/select/
+   compare/convert/min/max/bool) are priced at their measured slots; an
+   FMA-fused lower bound additionally lets every mul+add pair share a slot.
+3. **Bounds** — sol_mix_unfused (every vector op takes its class slot) and
+   sol_mix_fused (max mul+add pairing) bracket the kernel's light speed; the
+   legacy FMA-only number is kept for continuity.
 
-The ratio is *approximate* (cost_analysis counts transcendentals as 1 flop;
-the render kernel is not a pure FMA chain — it has selects, compares, and
-rsqrts that issue differently), so report it as "order-of" headroom, not a
-percentage to chase. Run on the real chip:
+Contention control: the fused kernel is re-measured up to N rounds and the
+minimum taken; the JSON records the best round next to the known
+run-of-record so a contended window is visible instead of silently skewing
+the fraction (r4's window was 38% slow).
 
-  python benchmarks/vpu_sol.py          # one JSON line on stdout
+Run on the real chip:  python benchmarks/vpu_sol.py
 """
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
+from collections import Counter
+
+# Vector-op classes: jaxpr primitive name -> class
+_CLASS = {
+    "mul": "mul", "add": "add", "sub": "add", "neg": "alu", "abs": "alu",
+    "max": "alu", "min": "alu", "and": "alu", "or": "alu", "not": "alu",
+    "xor": "alu", "select_n": "select", "convert_element_type": "alu",
+    "gt": "cmp", "lt": "cmp", "ge": "cmp", "le": "cmp", "eq": "cmp",
+    "ne": "cmp", "sqrt": "sqrt", "rsqrt": "rsqrt", "div": "div",
+    "exp": "exp", "log": "exp", "logistic": "exp", "integer_pow": "mul",
+    "floor": "alu", "round": "alu", "sign": "alu", "rem": "div",
+}
+_WRAPPERS = {"jit", "pjit", "closed_call", "custom_jvp_call",
+             "custom_vjp_call", "remat", "checkpoint", "custom_vjp_call_jaxpr"}
+
+
+def _walk(jaxpr, counts):
+    import math
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name not in _WRAPPERS and name in _CLASS:
+            # vector ops only: scalar math rides the scalar core, overlapped
+            shp = getattr(eqn.outvars[0].aval, "shape", ())
+            if shp and math.prod(shp) > 1:
+                counts[_CLASS[name]] += 1
+        for v in eqn.params.values():
+            for sub in (v if isinstance(v, (list, tuple)) else (v,)):
+                if hasattr(sub, "eqns"):
+                    _walk(sub, counts)
+                elif hasattr(sub, "jaxpr"):
+                    _walk(sub.jaxpr, counts)
+
+
+def _find_pallas(jaxpr, out):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "pallas_call":
+            out.append(eqn)
+        for v in eqn.params.values():
+            for sub in (v if isinstance(v, (list, tuple)) else (v,)):
+                if hasattr(sub, "eqns"):
+                    _find_pallas(sub, out)
+                elif hasattr(sub, "jaxpr"):
+                    _find_pallas(sub.jaxpr, out)
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--rounds", type=int, default=8,
+                    help="fused-kernel measurement rounds (min taken)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -51,66 +101,145 @@ def main() -> int:
     scene = rt.default_scene()
     camera = rt.Camera.build((w, h), [-2.0, 0.0, 2.0], [0.0, -30.0, 0.0])
 
-    # --- 1. flop estimate from XLA's cost model on the jnp path -------------
-    def jnp_render():
-        return rt.render_image(camera, scene, depth=2, aliasing=False,
-                               compat=True, row_chunk=240)
-    ca = jax.jit(jnp_render).lower().compile().cost_analysis()
+    # --- 1. instruction mix from the kernel's own jaxpr ---------------------
+    jx = jax.make_jaxpr(lambda s: render_image_pallas(
+        camera, s, depth=2, aliasing=False, compat=True))(scene)
+    calls = []
+    _find_pallas(jx.jaxpr, calls)
+    assert calls, "no pallas_call in the traced render"
+    mix = Counter()
+    _walk(calls[0].params["jaxpr"], mix)
+    n_u, n_v = -(-1080 // TW), -(-1920 // TH)   # swap-resolved grid at 1080p
+    n_tiles = n_u * n_v
+    elems = TW * TH
+    print(f"per-tile vector-op mix: {dict(mix)}  x {n_tiles} tiles "
+          f"({elems} elems/tile)", file=sys.stderr)
+
+    # legacy flop estimate (XLA cost model of the jnp path) for continuity
+    ca = jax.jit(lambda: rt.render_image(camera, scene, depth=2,
+                                         aliasing=False, compat=True,
+                                         row_chunk=240)).lower().compile().cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     flops_frame = float(ca.get("flops", 0.0))
-    print(f"XLA cost model: {flops_frame / 1e9:.2f} GFLOP/frame "
-          f"({flops_frame / (w * h):.0f} flops/pixel)", file=sys.stderr)
 
-    # --- 2. achieved VPU FMA rate at the render kernel's tile/grid ----------
-    def make_fma_kernel(n_fma):
+    # --- 2. per-class issue rates at the kernel's tile/grid -----------------
+    # P independent accumulators per step: a single serial chain measures
+    # instruction LATENCY (the r4 mistake in reverse — the real kernel has
+    # ample ILP and runs at unit THROUGHPUT); P=8 saturates the issue pipe.
+    P_ILP = 8
+
+    def chain_time(body, n_steps, iters):
         def kernel(p_ref, o_ref):
-            a = p_ref[0]
-            b = p_ref[1]
-            x = (jax.lax.broadcasted_iota(jnp.int32, (TW, TH), 1)
-                 .astype(jnp.float32)) * p_ref[2]
-            for _ in range(n_fma):
-                x = x * a + b       # serial dependence: 1 FMA / element / step
-            o_ref[...] = x
-        return kernel
-
-    def fma_time(n_fma, iters):
+            a, b = p_ref[0], p_ref[1]
+            base = (jax.lax.broadcasted_iota(jnp.int32, (TW, TH), 1)
+                    .astype(jnp.float32))
+            xs = [base * p_ref[2] + (0.5 + 0.01 * k) for k in range(P_ILP)]
+            ms = [x > p_ref[3] for x in xs]
+            for _ in range(n_steps):
+                xs = [body(x, a, b, m) for x, m in zip(xs, ms)]
+            acc = xs[0]
+            for x in xs[1:]:
+                acc = acc + x
+            o_ref[...] = acc
         f = pl.pallas_call(
-            make_fma_kernel(n_fma),
-            grid=(pl.cdiv(w, TW), pl.cdiv(h, TH)),
+            kernel,
+            grid=(n_u, n_v),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
             out_specs=pl.BlockSpec((TW, TH), lambda i, j: (i, j)),
-            out_shape=jax.ShapeDtypeStruct((w, h), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_u * TW, n_v * TH), jnp.float32),
         )
-        params = jnp.array([0.9999999, 1e-7, 1.0], jnp.float32)
+        params = jnp.array([0.9999999, 1e-7, 1.0, 0.25], jnp.float32)
         g = jax.jit(lambda p: f(p))
         return time_fn(lambda: g(params), warmup=1, iters=iters, best_of=3)
 
     iters = 20 if args.quick else 50
-    n_lo, n_hi = 256, 1024
-    t_lo = fma_time(n_lo, iters)
-    t_hi = fma_time(n_hi, iters)
-    per_fma = (t_hi - t_lo) / (n_hi - n_lo)          # s per FMA per frame-elem
-    vpu_flops = 2.0 * (w * h) / per_fma              # FMA = 2 flops
-    print(f"synthetic chain: {t_lo*1e3:.3f} ms @{n_lo} / {t_hi*1e3:.3f} ms "
-          f"@{n_hi} -> {vpu_flops / 1e12:.3f} TFLOP/s f32 achieved",
-          file=sys.stderr)
+    n_lo, n_hi = 32, 128
 
-    # --- 3. light-speed bound vs the measured fused kernel ------------------
+    # slope units: seconds per chain step (P_ILP body bundles on every
+    # element of every tile) for the WHOLE frame, divided by P_ILP -> seconds
+    # per single body bundle at saturated issue.
+    def frame_slope(body):
+        t_lo = chain_time(body, n_lo, iters)
+        t_hi = chain_time(body, n_hi, iters)
+        return (t_hi - t_lo) / (n_hi - n_lo) / P_ILP
+
+    s_fma = frame_slope(lambda x, a, b, m: x * a + b)             # 1 fma
+    s_sel = frame_slope(lambda x, a, b, m: jnp.where(m, x * a + b, x))  # fma+sel
+    s_cmp = frame_slope(lambda x, a, b, m: jnp.where(x > b, x * a + b, x))  # cmp+fma+sel
+    s_sqrt = frame_slope(lambda x, a, b, m: jnp.sqrt(x) + b)      # sqrt+add
+    s_rsqrt = frame_slope(lambda x, a, b, m: jax.lax.rsqrt(x) + b)
+    s_div = frame_slope(lambda x, a, b, m: a / x + b)
+
+    t_alu = s_fma                       # one vector ALU slot (mul, add, fma)
+    t_select = max(s_sel - s_fma, 0.0)
+    t_cmp = max(s_cmp - s_sel, 0.0)
+    t_sqrt = max(s_sqrt - s_fma, 0.0)   # minus the carried add
+    t_rsqrt = max(s_rsqrt - s_fma, 0.0)
+    t_div = max(s_div - s_fma, 0.0)
+    vpu_flops = 2.0 * (n_tiles * elems) / s_fma   # FMA = 2 flops
+    print(f"slots (ns/frame-step): fma={s_fma*1e9:.0f} sel={t_select*1e9:.0f} "
+          f"cmp={t_cmp*1e9:.0f} sqrt={t_sqrt*1e9:.0f} rsqrt={t_rsqrt*1e9:.0f} "
+          f"div={t_div*1e9:.0f}", file=sys.stderr)
+
+    # --- 3. bounds ----------------------------------------------------------
+    n_mul = mix.get("mul", 0)
+    n_add = mix.get("add", 0)
+    n_alu = mix.get("alu", 0)
+    n_sel = mix.get("select", 0)
+    n_cmp = mix.get("cmp", 0)
+    n_sqrt = mix.get("sqrt", 0)
+    n_rsqrt = mix.get("rsqrt", 0)
+    n_div = mix.get("div", 0)
+    n_exp = mix.get("exp", 0)
+    pairs = min(n_mul, n_add)
+    alu_unfused = n_mul + n_add + n_alu
+    alu_fused = alu_unfused - pairs
+    t_exp = t_rsqrt  # transcendental class proxy (none in the compat kernel)
+
+    def bound(alu_slots):
+        return (alu_slots * t_alu + n_sel * t_select + n_cmp * t_cmp +
+                n_sqrt * t_sqrt + n_rsqrt * t_rsqrt + n_div * t_div +
+                n_exp * t_exp)
+
+    sol_unfused = bound(alu_unfused)
+    sol_fused = bound(alu_fused)
+    sol_fma_only = flops_frame / vpu_flops
+
+    # --- 4. fused kernel in an uncontended window ---------------------------
     fused = lambda: render_image_pallas(camera, scene, depth=2,
                                         aliasing=False, compat=True)
-    t_fused = time_fn(fused, warmup=1, iters=100 if not args.quick else 30,
-                      best_of=3)
-    t_sol = flops_frame / vpu_flops
-    print(f"fused kernel: {t_fused*1e3:.3f} ms measured; FMA-equivalent "
-          f"light speed {t_sol*1e3:.3f} ms -> {t_sol / t_fused:.1%} of sol "
-          f"(order-of; see module docstring caveats)", file=sys.stderr)
+    rounds = []
+    for r in range(2 if args.quick else args.rounds):
+        t = time_fn(fused, warmup=1, iters=100 if not args.quick else 30,
+                    best_of=2)
+        rounds.append(t)
+        print(f"fused round {r}: {t*1e3:.3f} ms", file=sys.stderr)
+    t_fused = min(rounds)
 
-    print(json.dumps(dict(metric="vpu_sol",
-                          flops_per_frame=flops_frame,
-                          vpu_tflops_achieved=round(vpu_flops / 1e12, 3),
-                          fused_ms=round(t_fused * 1e3, 3),
-                          sol_ms=round(t_sol * 1e3, 3),
-                          sol_fraction=round(t_sol / t_fused, 3))))
+    print(f"fused {t_fused*1e3:.3f} ms | sol: fma-only {sol_fma_only*1e3:.3f} "
+          f"| mix fused {sol_fused*1e3:.3f} ({sol_fused/t_fused:.1%}) "
+          f"| mix unfused {sol_unfused*1e3:.3f} ({sol_unfused/t_fused:.1%})",
+          file=sys.stderr)
+
+    print(json.dumps(dict(
+        metric="vpu_sol",
+        mix_per_tile={k: int(v) for k, v in sorted(mix.items())},
+        n_tiles=n_tiles,
+        slot_ns_per_frame_step=dict(
+            fma=round(s_fma * 1e9), select=round(t_select * 1e9),
+            cmp=round(t_cmp * 1e9), sqrt=round(t_sqrt * 1e9),
+            rsqrt=round(t_rsqrt * 1e9), div=round(t_div * 1e9)),
+        flops_per_frame=flops_frame,
+        vpu_tflops_achieved=round(vpu_flops / 1e12, 3),
+        fused_ms=round(t_fused * 1e3, 3),
+        fused_rounds_ms=[round(t * 1e3, 3) for t in rounds],
+        sol_fma_only_ms=round(sol_fma_only * 1e3, 3),
+        sol_mix_fused_ms=round(sol_fused * 1e3, 3),
+        sol_mix_unfused_ms=round(sol_unfused * 1e3, 3),
+        sol_fraction_fma_only=round(sol_fma_only / t_fused, 3),
+        sol_fraction_mix=[round(sol_fused / t_fused, 3),
+                          round(sol_unfused / t_fused, 3)],
+    )))
     return 0
 
 

@@ -94,6 +94,22 @@ def _fold_spheres(ns, body, carry):
     return _fold_objects(ns, body, carry)
 
 
+def _attr_planes(npl, pln, ns, hit_obj, carry):
+    """Plane half of the hit-attribute accumulation (rolled-capable)."""
+    def _attr_pln(j, carry):
+        ar, ag, ab, qx, qy, qz, is_pl = carry
+        m = (hit_obj == _jf32(j, ns)).astype(jnp.float32)
+        ar += m * pln[6, j]
+        ag += m * pln[7, j]
+        ab += m * pln[8, j]
+        qx += m * pln[3, j]
+        qy += m * pln[4, j]
+        qz += m * pln[5, j]
+        is_pl += m
+        return ar, ag, ab, qx, qy, qz, is_pl
+    return _fold_objects(npl, _attr_pln, carry)
+
+
 def _fold_spheres_culled(ns, body, carry, cull):
     """Fold ``body(j, carry, ok) -> carry`` over the PRIMARY trace's spheres,
     restricted to this tile's compact visible list when ``cull`` is present.
@@ -139,12 +155,14 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
     bounds this kernel's own biased hit points bit-exactly). Bounce-level
     occlusion always sweeps all spheres (shadow rays scatter).
 
-    ``pre = dict(t=..., hit_obj=..., occs=[...])`` replays residuals this
-    trace already computed earlier in the same kernel (the fused-AA training
-    step's phase A): the closest-hit sweep, the plane closest-hit loop, and
-    the shadow-occlusion sweep — the per-object work — are all skipped, and
-    the trace reduces to elementwise shading recomputation. ``cull`` still
-    restricts the hit-ATTRIBUTE fold; ``sh_lists`` is unused under ``pre``.
+    ``pre = dict(t=..., hit_obj=..., attr=(ar, ag, ab, qx, qy, qz),
+    occs=[...])`` replays residuals this trace already computed earlier in
+    the same kernel (the fused-AA training step's phase A): the closest-hit
+    sweep, the plane closest-hit loop, the hit-ATTRIBUTE fold (albedo +
+    center/normal come from the ``attr`` slabs; ``is_pl`` reduces to
+    ``hit_obj >= ns``), and the shadow-occlusion sweep — all per-object work
+    — are skipped, and the trace reduces to elementwise shading
+    recomputation. ``sh_lists``/``cull`` are unused under ``pre``.
 
     ``grp``/``grp_refs`` (BOUNCE traces on rolled scenes): the closest-hit,
     hit-attribute, and shadow-occlusion sphere folds run Morton-grouped with
@@ -252,7 +270,13 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
         qy += m * sph[1, j]
         qz += m * sph[2, j]
         return ar, ag, ab, qx, qy, qz
-    if grp is not None and cull is None:
+    if pre is not None and "attr" in pre:
+        # Phase-C replay: attributes come from the phase-A slabs (bit-equal
+        # by construction) and the plane flag reduces to the index test —
+        # the whole attribute fold is skipped.
+        ar, ag, ab, qx, qy, qz = pre["attr"]
+        is_pl = (hit_obj >= jnp.float32(ns)).astype(jnp.float32)
+    elif grp is not None and cull is None:
         # Grouped attr fold: keep condition entry <= t (non-strict — the
         # winning member satisfies it; a skipped group provably holds no
         # lane's winner). Prune bound is ts: 0 on dead lanes, so their
@@ -267,22 +291,13 @@ def _fwd_trace_res(params, sph, ns, pln, npl, lts, nl, o, d, *, compat, shape,
                              (ox, oy, oz, dx, dy, dz, a, g_od, g_oo, g_inv2a),
                              t_prune_ref=grp_refs[6], t_prune_strict=False)
         ar, ag, ab, qx, qy, qz = (r_[...] for r_ in grp_refs[0:6])
+        ar, ag, ab, qx, qy, qz, is_pl = _attr_planes(
+            npl, pln, ns, hit_obj, (ar, ag, ab, qx, qy, qz, is_pl))
     else:
         ar, ag, ab, qx, qy, qz = _fold_spheres_culled(
             ns, _attr_body, (ar, ag, ab, qx, qy, qz), cull)
-    def _attr_pln(j, carry):
-        ar, ag, ab, qx, qy, qz, is_pl = carry
-        m = (hit_obj == _jf32(j, ns)).astype(jnp.float32)
-        ar += m * pln[6, j]
-        ag += m * pln[7, j]
-        ab += m * pln[8, j]
-        qx += m * pln[3, j]
-        qy += m * pln[4, j]
-        qz += m * pln[5, j]
-        is_pl += m
-        return ar, ag, ab, qx, qy, qz, is_pl
-    ar, ag, ab, qx, qy, qz, is_pl = _fold_objects(
-        npl, _attr_pln, (ar, ag, ab, qx, qy, qz, is_pl))
+        ar, ag, ab, qx, qy, qz, is_pl = _attr_planes(
+            npl, pln, ns, hit_obj, (ar, ag, ab, qx, qy, qz, is_pl))
 
     plane_hit = is_pl > 0.5
     vx, vy, vz = Px - qx, Py - qy, Pz - qz
@@ -746,7 +761,9 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
         slots = dict(slots, loss=n_grads)
         n_grads += 1
     per_sample = aliasing and not aa_share
-    n_kinds = 2 + nl         # phase-A residual kinds: t, hit_obj, occ[l]
+    # phase-A residual kinds: t, hit_obj, attr (ar, ag, ab, qx, qy, qz),
+    # occ[l] — storing the attributes lets phase C skip the attr fold too
+    n_kinds = 8 + nl
     inv_denom = 1.0 / float(W * H * 3)   # GLOBAL mean denominator (slices sum)
 
     def kernel(params, sph, pln, lts, *rest):
@@ -872,8 +889,10 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                     grp=grp if bounce > 0 else None, grp_refs=gr_v)
                 rres(chain_id, bounce, 0, shp)[...] = res["t"]
                 rres(chain_id, bounce, 1, shp)[...] = res["hit_obj"]
+                for k_, v_ in enumerate(res["albedo"] + res["q"]):
+                    rres(chain_id, bounce, 2 + k_, shp)[...] = v_
                 for l in range(nl):
-                    rres(chain_id, bounce, 2 + l, shp)[...] = res["occs"][l]
+                    rres(chain_id, bounce, 8 + l, shp)[...] = res["occs"][l]
                 for c in range(3):
                     out[c] = out[c] + weight * rgb[c]
                 aliveprod = aliveprod * res["alive_f"]
@@ -904,7 +923,9 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                     pre = dict(
                         t=rres(chain_id, bounce, 0, shp)[...],
                         hit_obj=rres(chain_id, bounce, 1, shp)[...],
-                        occs=[rres(chain_id, bounce, 2 + l, shp)[...]
+                        attr=tuple(rres(chain_id, bounce, 2 + k_, shp)[...]
+                                   for k_ in range(6)),
+                        occs=[rres(chain_id, bounce, 8 + l, shp)[...]
                               for l in range(nl)])
                 rgb, o_next, d_next, alive, res = _fwd_trace_res(
                     params, sph, ns, pln, npl, lts, nl, o_cur, d_cur,
@@ -1343,10 +1364,11 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     args.append(g_chw)
     scratch = []
     if fused_loss and aliasing:
-        # Phase-A residual slabs: (t, hit_obj, occ[l]) x (depth+1) bounces x
-        # 6 chains, allocated at the widest chain shape (TW+8, TH). Demo
-        # scene (nl=3, depth=2) at TW=24/TH=128: 90 slabs, ~1.4 MB VMEM.
-        scratch = [pltpu.VMEM(((2 + nl) * (depth + 1) * 6, TW + 8, TH),
+        # Phase-A residual slabs: (t, hit_obj, attr x6, occ[l]) x (depth+1)
+        # bounces x 6 chains, allocated at the widest chain shape (TW+8, TH).
+        # Demo scene (nl=3, depth=2) at TW=24/TH=128: 198 slabs, ~3.2 MB VMEM
+        # — the attr slabs buy phase C out of the hit-attribute fold.
+        scratch = [pltpu.VMEM(((8 + nl) * (depth + 1) * 6, TW + 8, TH),
                               jnp.float32)]
     if grouped:
         # Grouped-fold state slabs (8 reusable (TW+8, TH) rows); the kernel

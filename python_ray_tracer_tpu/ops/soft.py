@@ -100,8 +100,37 @@ def _shade_all(P, N, albedo, ray_batch_shape, scene, tau):
     return rgb
 
 
-def render_rays_soft(ray_o, ray_d, scene, *, tau: float = 0.05):
-    """Soft-composited radiance for a batch of rays -> ``(..., 3)`` in [0,1]."""
+def _mirror_bounce_rgb(P, N, ray_d, scene, tau):
+    """Hard-visibility mirror-bounce radiance from per-object hit points.
+
+    The silhouette-aware term of the soft renderer is the PRIMARY coverage
+    (that is where the loss mass lives); the depth-1 bounce uses the hard
+    closest-hit with soft-composited weights outside — so ``reflection``
+    and the bounce geometry get smooth-in-expectation gradients through
+    ``w_i``/``P``/``N``/``R`` while the bounce visibility itself stays a.e.
+    (reference trace.py:107-110 biasing: origin nudged along N then R).
+    """
+    from .shade import trace_once, BIAS
+    ddn = jnp.sum(ray_d[..., None, :] * N, axis=-1, keepdims=True)
+    R = ray_d[..., None, :] - 2.0 * ddn * N
+    R = R / _norm(R)
+    Pb = P + BIAS * N + BIAS * R
+    st = trace_once(Pb, R, scene, compat=False)
+    return st.rgb
+
+
+def render_rays_soft(ray_o, ray_d, scene, *, tau: float = 0.05,
+                     bounce_depth: int = 0):
+    """Soft-composited radiance for a batch of rays -> ``(..., 3)`` in [0,1].
+
+    ``bounce_depth=1`` adds a mirror bounce weighted by
+    ``materials.reflection`` (see :func:`_mirror_bounce_rgb`), making the
+    reflection coefficient and reflective appearance trainable through the
+    soft path. Only depths 0 and 1 are supported — the soft renderer is the
+    *optimization* renderer; render final frames with the hard path.
+    """
+    assert bounce_depth in (0, 1), "soft path supports bounce_depth 0 or 1"
+    refl = scene.materials.reflection
     parts_alpha, parts_t, parts_rgb = [], [], []
 
     if scene.spheres.count:
@@ -112,6 +141,9 @@ def render_rays_soft(ray_o, ray_d, scene, *, tau: float = 0.05):
         N_s = N_s / _norm(N_s)
         rgb_s = _shade_all(P_s, N_s, scene.spheres.albedo, ray_o.shape[:-1],
                            scene, tau)
+        if bounce_depth:
+            rgb_s = rgb_s + refl * _mirror_bounce_rgb(P_s, N_s, ray_d, scene,
+                                                      tau)
         parts_alpha.append(a_s)
         parts_t.append(t_s)
         parts_rgb.append(rgb_s)
@@ -123,6 +155,9 @@ def render_rays_soft(ray_o, ray_d, scene, *, tau: float = 0.05):
         N_p = jnp.broadcast_to(scene.planes.normal, P_p.shape)
         rgb_p = _shade_all(P_p, N_p, scene.planes.albedo, ray_o.shape[:-1],
                            scene, tau)
+        if bounce_depth:
+            rgb_p = rgb_p + refl * _mirror_bounce_rgb(P_p, N_p, ray_d, scene,
+                                                      tau)
         parts_alpha.append(a_p)
         parts_t.append(t_p)
         parts_rgb.append(rgb_p)
@@ -145,9 +180,10 @@ def render_rays_soft(ray_o, ray_d, scene, *, tau: float = 0.05):
     return jnp.sum(w[..., None] * rgb_sorted, axis=-2)
 
 
-@partial(jax.jit, static_argnames=("row_chunk",))
+@partial(jax.jit, static_argnames=("row_chunk", "bounce_depth"))
 def render_image_soft(camera, scene, *, tau: float = 0.05,
-                      row_chunk: int | None = None) -> jnp.ndarray:
+                      row_chunk: int | None = None,
+                      bounce_depth: int = 0) -> jnp.ndarray:
     """Full-image soft render -> float ``(w, h, 3)``; clean orientation/channels."""
     w, h = camera.resolution
     xs = jnp.arange(w, dtype=jnp.float32)
@@ -160,10 +196,12 @@ def render_image_soft(camera, scene, *, tau: float = 0.05,
 
     def block(args):
         ob, db = args
-        return render_rays_soft(ob, db, scene, tau=tau)
+        return render_rays_soft(ob, db, scene, tau=tau,
+                                bounce_depth=bounce_depth)
 
     if row_chunk is None or row_chunk >= w:
-        return render_rays_soft(o, d, scene, tau=tau)
+        return render_rays_soft(o, d, scene, tau=tau,
+                                bounce_depth=bounce_depth)
     assert w % row_chunk == 0
     o_b = o.reshape(w // row_chunk, row_chunk, h, 3)
     d_b = d.reshape(w // row_chunk, row_chunk, h, 3)

@@ -35,7 +35,7 @@ def pixel_loss(camera, target, *, depth: int = 2, aliasing: bool = False,
 
 def soft_pixel_loss(camera, target, *, tau: float = 0.05,
                     row_chunk: Optional[int] = None, backend: str = "jnp",
-                    interpret: bool = False) -> Callable:
+                    interpret: bool = False, bounce_depth: int = 0) -> Callable:
     """Silhouette-aware loss via the soft-visibility renderer (ops/soft.py).
 
     The target should be produced by :func:`soft_pixel_target` (same renderer) so
@@ -45,10 +45,14 @@ def soft_pixel_loss(camera, target, *, tau: float = 0.05,
     forward via the fused soft kernel, backward via its custom_vjp's
     hand-derived adjoint kernel (ops/pallas/soft_bwd.py). Round 4's jnp-vjp
     backward made the step a wash (199 vs 196 ms at 100 spheres / 128^2);
-    the fused backward removes the jnp re-render entirely."""
+    the fused backward removes the jnp re-render entirely.
+
+    ``bounce_depth=1`` adds the depth-1 mirror bounce (reflection-coefficient
+    fitting — ops/soft.py); the fused kernels cover primary visibility only,
+    so the bounce always renders through the jnp path."""
     from .ops.soft import render_image_soft
 
-    if backend == "pallas":
+    if backend == "pallas" and bounce_depth == 0:
         from .ops.pallas.render_pallas import _UNROLL_LIMIT
         from .ops.pallas.soft_pallas import render_image_soft_fast
 
@@ -64,7 +68,8 @@ def soft_pixel_loss(camera, target, *, tau: float = 0.05,
         return loss
 
     def loss(scene):
-        img = render_image_soft(camera, scene, tau=tau, row_chunk=row_chunk)
+        img = render_image_soft(camera, scene, tau=tau, row_chunk=row_chunk,
+                                bounce_depth=bounce_depth)
         return jnp.mean((img - target) ** 2)
     return loss
 
@@ -385,28 +390,32 @@ def fit_scene_soft(init_scene: Scene, camera, target_scene: Scene, *,
                    taus: Sequence[float] = (0.15, 0.05, 0.02),
                    trainable: Optional[Sequence[str]] = ("spheres.center",),
                    logger: Optional[MetricsLogger] = None,
-                   backend: str = "jnp", interpret: bool = False):
+                   backend: str = "jnp", interpret: bool = False,
+                   bounce_depth: int = 0):
     """Coarse-to-fine soft-visibility fitting (anneal ``tau`` toward hard).
 
     At each ``tau`` the *target* is re-rendered from ``target_scene`` with the same
     softness, so only geometry/material mismatch drives the loss. Robust where the
     hard a.e. gradient misleads (overlapping silhouettes — see ops/soft.py).
     ``backend="pallas"`` runs forward AND backward through the fused Mosaic
-    kernels (soft_pallas + soft_bwd). Returns ``(scene, losses)``.
+    kernels (soft_pallas + soft_bwd). ``bounce_depth=1`` adds the depth-1
+    mirror bounce (jnp path — fits ``materials.reflection`` and reflective
+    appearance). Returns ``(scene, losses)``.
     """
     from .ops.soft import render_image_soft
 
     def render_target(tau):
-        if backend == "pallas":
+        if backend == "pallas" and bounce_depth == 0:
             from .ops.pallas.render_pallas import _UNROLL_LIMIT
             if target_scene.planes.count <= _UNROLL_LIMIT:
                 from .ops.pallas.soft_pallas import render_image_soft_pallas
                 return render_image_soft_pallas(camera, target_scene, tau=tau,
                                                 interpret=interpret)
-        return render_image_soft(camera, target_scene, tau=tau)
+        return render_image_soft(camera, target_scene, tau=tau,
+                                 bounce_depth=bounce_depth)
 
     from .ops.pallas.render_pallas import _UNROLL_LIMIT
-    use_fused = (backend == "pallas"
+    use_fused = (backend == "pallas" and bounce_depth == 0
                  and init_scene.planes.count <= _UNROLL_LIMIT
                  and init_scene.lights.count <= _UNROLL_LIMIT)
 
@@ -426,7 +435,8 @@ def fit_scene_soft(init_scene: Scene, camera, target_scene: Scene, *,
                                    value_and_grad=vg)
         else:
             loss_fn = soft_pixel_loss(camera, target, tau=tau, backend=backend,
-                                      interpret=interpret)
+                                      interpret=interpret,
+                                      bounce_depth=bounce_depth)
             step = make_train_step(loss_fn, optimizer, trainable)
         opt_state = optimizer.init(scene)
         for i in range(per_stage):

@@ -207,3 +207,49 @@ def test_soft_pallas_fast_grads_match_jnp():
         a, b = np.asarray(a), np.asarray(b)
         np.testing.assert_allclose(a, b, rtol=1e-3,
                                    atol=1e-5 * (abs(b).max() + 1.0))
+
+
+def test_soft_bounce_sees_reflections():
+    """bounce_depth=1 adds mirror-bounce radiance: a reflective sphere over a
+    bright plane reads brighter than with bounce_depth=0, and the image
+    gradient w.r.t. materials.reflection is nonzero (VERDICT r4 #10)."""
+    cam = rt.default_camera((24, 24))
+    scene = rt.Scene(
+        rt.Spheres.build([([3.0, 0.0, 1.0], 1.0, rt.RED)]),
+        rt.Planes.build([([0.0, 0.0, -0.5], [0.0, 0.0, 1.0], rt.GREY)]),
+        rt.Lights.build([[0.0, 2.0, 6.0]]),
+        rt.Materials.build(ambient=0.3, lambert=0.5, reflection=0.5))
+    img0 = rt.render_image_soft(cam, scene, tau=0.05, bounce_depth=0)
+    img1 = rt.render_image_soft(cam, scene, tau=0.05, bounce_depth=1)
+    assert float(jnp.sum(img1)) > float(jnp.sum(img0))
+
+    def lum(refl):
+        s = dataclasses.replace(
+            scene, materials=dataclasses.replace(scene.materials,
+                                                 reflection=refl))
+        return jnp.sum(rt.render_image_soft(cam, s, tau=0.05, bounce_depth=1))
+
+    g = jax.grad(lum)(jnp.float32(0.5))
+    assert abs(float(g)) > 1e-3
+
+
+def test_soft_fit_recovers_reflection_coefficient():
+    """fit_scene_soft(bounce_depth=1) recovers a perturbed reflection
+    coefficient — reflective materials are trainable through the soft path."""
+    from python_ray_tracer_tpu import train
+    cam = rt.default_camera((32, 32))
+    target_scene = rt.Scene(
+        rt.Spheres.build([([3.0, 0.0, 1.0], 1.0, rt.RED),
+                          ([2.0, -1.5, 0.6], 0.6, rt.BLUE)]),
+        rt.Planes.build([([0.0, 0.0, -0.5], [0.0, 0.0, 1.0], rt.GREY)]),
+        rt.Lights.build([[0.0, 2.0, 6.0]]),
+        rt.Materials.build(ambient=0.3, lambert=0.5, reflection=0.4))
+    init = dataclasses.replace(
+        target_scene, materials=dataclasses.replace(
+            target_scene.materials, reflection=jnp.float32(0.05)))
+    fitted, losses = train.fit_scene_soft(
+        init, cam, target_scene, steps=60, lr=2e-2, taus=(0.05,),
+        trainable=("materials.reflection",), bounce_depth=1)
+    err0 = abs(0.05 - 0.4)
+    err1 = abs(float(fitted.materials.reflection) - 0.4)
+    assert err1 < 0.25 * err0, (err0, err1, losses[::20])
