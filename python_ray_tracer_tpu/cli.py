@@ -237,11 +237,13 @@ def cmd_fit(args) -> int:
     logger = MetricsLogger("fit")
     if args.mode == "soft":
         # pallas backend: the whole step runs through the fused kernels —
-        # soft forward (soft_pallas) + hand-derived adjoint (soft_bwd)
+        # soft forward (soft_pallas) + hand-derived adjoint (soft_bwd);
+        # --bounce-depth 1 adds the mirror bounce (jnp path)
         soft_backend = "pallas" if cfg.backend == "pallas" else "jnp"
         fitted, losses = train.fit_scene_soft(init, cam, scene, steps=args.steps,
                                               lr=args.lr, logger=logger,
-                                              backend=soft_backend)
+                                              backend=soft_backend,
+                                              bounce_depth=args.bounce_depth)
     else:
         target = render_image(cam, scene, depth=cfg.depth, aliasing=False,
                               compat=cfg.compat)
@@ -309,6 +311,9 @@ def main(argv=None) -> int:
     pf.add_argument("--steps", type=int, default=150)
     pf.add_argument("--lr", type=float, default=1e-2)
     pf.add_argument("--mode", choices=["soft", "hard", "camera"], default="soft")
+    pf.add_argument("--bounce-depth", type=int, default=0, choices=[0, 1],
+                    help="soft mode: add a depth-1 mirror bounce (makes "
+                         "reflection trainable; renders via the jnp path)")
     pa = sub.add_parser("animate", help="orbit-animation GIF (batched frames)")
     _add_render_args(pa)
     pa.set_defaults(out="output/orbit.gif")
