@@ -81,18 +81,12 @@ def _render_fn(cfg, soft_tau=0.0, scene=None, adaptive_eps=None,
             print("[adaptive-aa] ignored: --soft renders use the soft "
                   "renderer", file=sys.stderr)
         if cfg.backend == "pallas":
-            from .ops.pallas.render_pallas import _UNROLL_LIMIT
             from .ops.pallas.soft_pallas import render_image_soft_pallas
-            npl = scene.planes.count if scene is not None else 0
-            if npl > _UNROLL_LIMIT:
-                print(f"[soft] {npl} planes exceed the fused kernel's "
-                      f"unrolled-plane limit ({_UNROLL_LIMIT}); using the "
-                      f"jnp path", file=sys.stderr)
-            else:
-                def fn(cam, scene):
-                    return render_image_soft_pallas(cam, scene, tau=soft_tau)
-                fn.kind = "soft_pallas"
-                return fn
+
+            def fn(cam, scene):
+                return render_image_soft_pallas(cam, scene, tau=soft_tau)
+            fn.kind = "soft_pallas"
+            return fn
         from .ops.soft import render_image_soft
 
         def fn(cam, scene):

@@ -64,7 +64,6 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
     k_amb = slots["amb"]
     k_lamb = slots["lamb"]
     k_light = lambda l, c: slots[("light", l, c)]
-    k_pln = lambda j, c: slots[("pln", j, c)]
     k_cam = slots[("cam_pos", 0)]
     k_rot = slots[("rot", 0, 0)]
     k_fov = slots["fov"]
@@ -112,6 +111,11 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
 
         def acc_sph(j, c, vec):
             out_ref[j * 7 + c] += _vsum(vec)
+
+        def acc_pln(j, c, scalar):
+            # plane slots sit right after the sphere block (grad_layout
+            # order); j may be static or traced (rolled plane folds)
+            out_ref[7 * ns + j * 9 + c] += scalar
 
         # --- soft sphere coverage: forward with adjoint residuals -------------
         def cover(Ox, Oy, Oz, Dx, Dy, Dz, cx, cy, cz, r, need_t):
@@ -170,9 +174,8 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
             return cover(ox, oy, oz, dx, dy, dz, sph[0, j], sph[1, j],
                          sph[2, j], sph[3, j], need_t)
 
-        # --- opaque plane coverage (soft.py:66-72) ----------------------------
-        plane_cov = []
-        for k in range(npl):
+        # --- opaque plane coverage (soft.py:66-72); static OR traced k --------
+        def plane_cover(k):
             pnx, pny, pnz = pln[3, k], pln[4, k], pln[5, k]
             den = dx * pnx + dy * pny + dz * pnz
             den_ok = jnp.abs(den) > 1e-8
@@ -181,7 +184,7 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
                    (pln[2, k] - oz) * pnz)
             t_pre = num / den_safe
             a_p = (den_ok & (t_pre > 0.0)).astype(jnp.float32)
-            plane_cov.append((a_p, jnp.maximum(t_pre, 1e-4)))
+            return a_p, jnp.maximum(t_pre, 1e-4)
 
         def light_geom(Px, Py, Pz):
             Ls = []
@@ -329,26 +332,28 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
             N = (vx * nn, vy * nn, vz * nn)
             Ls = light_geom(Px, Py, Pz)
             w, vis = fold1("sphere", i_idx, t_i, cv["a"], Px, Py, Pz, Ls)
-            for k in range(npl):
-                a_p, t_p = plane_cov[k]   # plane index ns+k > i: strict
-                w = w * (1.0 - jnp.where(t_p < t_i, a_p, 0.0))
+
+            def pbody(k, w):              # plane index ns+k > i: strict
+                a_p, t_p = plane_cover(k)
+                return w * (1.0 - jnp.where(t_p < t_i, a_p, 0.0))
+            w = _fold_objects(npl, pbody, w)
             A = (sph[4, i_idx], sph[5, i_idx], sph[6, i_idx])
             s_val, ldotns, relus = shade_fwd(N, A, vis, Ls)
             return cv, t_i, (Px, Py, Pz), N, nn, Ls, w, vis, A, s_val, \
                 ldotns, relus
 
         def plane_prelude(k):
-            a_p, t_p = plane_cov[k]
+            a_p, t_p = plane_cover(k)
             Px, Py, Pz = ox + t_p * dx, oy + t_p * dy, oz + t_p * dz
             N = (pln[3, k], pln[4, k], pln[5, k])
             Ls = light_geom(Px, Py, Pz)
             w, vis = fold1("plane", ns + k, t_p, a_p, Px, Py, Pz, Ls)
-            for k2 in range(npl):
-                if k2 == k:
-                    continue
-                a_2, t_2 = plane_cov[k2]
-                closer = (t_2 <= t_p) if k2 < k else (t_2 < t_p)
-                w = w * (1.0 - jnp.where(closer, a_2, 0.0))
+
+            def pbody(k2, w):   # stable index tie-break; k2==k self-excludes
+                a_2, t_2 = plane_cover(k2)
+                closer = (t_2 < t_p) | ((t_2 <= t_p) & (k2 < k))
+                return w * (1.0 - jnp.where(closer, a_2, 0.0))
+            w = _fold_objects(npl, pbody, w)
             A = (pln[6, k], pln[7, k], pln[8, k])
             s_val, ldotns, relus = shade_fwd(N, A, vis, Ls)
             return t_p, (Px, Py, Pz), N, Ls, w, vis, A, s_val, ldotns, relus
@@ -361,11 +366,13 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
                 return (o_r + w * s_val * A[0], o_g + w * s_val * A[1],
                         o_b + w * s_val * A[2])
             o_r, o_g, o_b = _fold_objects(ns, fwd_sphere, (zeros, zeros, zeros))
-            for k in range(npl):
-                _, _, _, _, w, _, A, s_val, _, _ = plane_prelude(k)
-                o_r = o_r + w * s_val * A[0]
-                o_g = o_g + w * s_val * A[1]
-                o_b = o_b + w * s_val * A[2]
+
+            def fwd_plane(kk, carry):
+                o_r, o_g, o_b = carry
+                _, _, _, _, w, _, A, s_val, _, _ = plane_prelude(kk)
+                return (o_r + w * s_val * A[0], o_g + w * s_val * A[1],
+                        o_b + w * s_val * A[2])
+            o_r, o_g, o_b = _fold_objects(npl, fwd_plane, (o_r, o_g, o_b))
             d0 = jnp.where(inb, o_r - g_ref[0], 0.0)
             d1 = jnp.where(inb, o_g - g_ref[1], 0.0)
             d2_ = jnp.where(inb, o_b - g_ref[2], 0.0)
@@ -422,15 +429,16 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
         dbx, dby, dbz, obx, oby, obz = _fold_objects(
             ns, sphere_iter, (zeros, zeros, zeros, zeros, zeros, zeros))
 
-        for k in range(npl):
-            t_p, P, N, Ls, w, vis, A, s_val, ldotns, relus = plane_prelude(k)
+        def plane_iter(kk, carry):
+            dbx, dby, dbz, obx, oby, obz = carry
+            t_p, P, N, Ls, w, vis, A, s_val, ldotns, relus = plane_prelude(kk)
             Px, Py, Pz = P
             wbar_wi, vis_fac, Nb, Lb, _, _ = obj_common(
                 gr, gg, gb, w, s_val, A, N, vis, Ls, ldotns, relus)
-            out_ref[k_pln(k, 6)] += _vsum(w * s_val * gr)
-            out_ref[k_pln(k, 7)] += _vsum(w * s_val * gg)
-            out_ref[k_pln(k, 8)] += _vsum(w * s_val * gb)
-            st = fold2("plane", ns + k, t_p, wbar_wi, Px, Py, Pz, Ls, vis_fac,
+            acc_pln(kk, 6, _vsum(w * s_val * gr))
+            acc_pln(kk, 7, _vsum(w * s_val * gg))
+            acc_pln(kk, 8, _vsum(w * s_val * gb))
+            st = fold2("plane", ns + kk, t_p, wbar_wi, Px, Py, Pz, Ls, vis_fac,
                        (dbx, dby, dbz, obx, oby, obz, zeros, zeros, zeros,
                         *Lb))
             dbx, dby, dbz, obx, oby, obz = st[:6]
@@ -451,29 +459,30 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
             den = dx * pnx + dy * pny + dz * pnz
             den_ok = jnp.abs(den) > 1e-8
             den_safe = jnp.where(den_ok, den, 1.0)
-            num = ((pln[0, k] - ox) * pnx + (pln[1, k] - oy) * pny +
-                   (pln[2, k] - oz) * pnz)
+            num = ((pln[0, kk] - ox) * pnx + (pln[1, kk] - oy) * pny +
+                   (pln[2, kk] - oz) * pnz)
             t_pre = num / den_safe
             inv_den = 1.0 / den_safe
             t_m = jnp.where(t_pre > 1e-4, tbar, 0.0)
             numbar = t_m * inv_den
             denbar = jnp.where(den_ok, -(t_m * t_pre) * inv_den, 0.0)
             nb_sum = _vsum(numbar)
-            out_ref[k_pln(k, 0)] += nb_sum * pnx
-            out_ref[k_pln(k, 1)] += nb_sum * pny
-            out_ref[k_pln(k, 2)] += nb_sum * pnz
+            acc_pln(kk, 0, nb_sum * pnx)
+            acc_pln(kk, 1, nb_sum * pny)
+            acc_pln(kk, 2, nb_sum * pnz)
             obx = obx - numbar * pnx
             oby = oby - numbar * pny
             obz = obz - numbar * pnz
-            out_ref[k_pln(k, 3)] += (_vsum(denbar * dx + Nb[0]) +
-                                     nb_sum * (pln[0, k] - ox))
-            out_ref[k_pln(k, 4)] += (_vsum(denbar * dy + Nb[1]) +
-                                     nb_sum * (pln[1, k] - oy))
-            out_ref[k_pln(k, 5)] += (_vsum(denbar * dz + Nb[2]) +
-                                     nb_sum * (pln[2, k] - oz))
+            acc_pln(kk, 3, _vsum(denbar * dx + Nb[0]) + nb_sum * (pln[0, kk] - ox))
+            acc_pln(kk, 4, _vsum(denbar * dy + Nb[1]) + nb_sum * (pln[1, kk] - oy))
+            acc_pln(kk, 5, _vsum(denbar * dz + Nb[2]) + nb_sum * (pln[2, kk] - oz))
             dbx = dbx + denbar * pnx
             dby = dby + denbar * pny
             dbz = dbz + denbar * pnz
+            return (dbx, dby, dbz, obx, oby, obz)
+
+        dbx, dby, dbz, obx, oby, obz = _fold_objects(
+            npl, plane_iter, (dbx, dby, dbz, obx, oby, obz))
 
         # --- camera adjoints: d = normalize(R @ p), o = position --------------
         out_ref[k_cam + 0] += _vsum(obx)
@@ -499,8 +508,8 @@ def _soft_grads_pallas(camera, scene, g_or_target, tau, *, tile_w: int = 40,
                        return_camera: bool = False, fused_loss: bool = False):
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
-    assert npl <= _UNROLL_LIMIT and nl <= _UNROLL_LIMIT, (
-        "soft backward keeps planes/lights unrolled — use the jnp path")
+    assert nl <= _UNROLL_LIMIT, (
+        "soft backward keeps lights unrolled — use the jnp path")
     params = _pack_params(camera, scene, False)   # clean-mode grid
     extra = jnp.asarray([tau], jnp.float32)
     sph = jnp.concatenate([

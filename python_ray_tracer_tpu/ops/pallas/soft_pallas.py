@@ -191,8 +191,10 @@ def _make_soft_kernel(*, W, H, TW, TH, ns, npl, nl, swap_xy, rolled=False):
         # Rolled scenes: O(1) register state — recompute coverages inside
         # chunk-unrolled folds. Product order matches the unrolled path
         # (spheres ascending, then planes); the j == i factor self-excludes
-        # because t_i < t_i is false.
-        plane_at = [plane_cover(k) for k in range(npl)]
+        # because t_i < t_i is false. Planes roll through the same
+        # _fold_objects machinery (unrolling below the limit), so any plane
+        # count works — the tie-break against a static-or-traced plane index
+        # is the same boolean algebra as the sphere case.
 
         def w_vs_spheres(i_idx, t_i, w):
             def body(jj, w):
@@ -208,31 +210,36 @@ def _make_soft_kernel(*, W, H, TW, TH, ns, npl, nl, swap_xy, rolled=False):
             out_r, out_g, out_b = carry
             a_i, t_i, (sr, sg, sb) = sphere_eval(ii)
             w = w_vs_spheres(ii, t_i, a_i)
-            for k in range(npl):        # plane index ns+k > ii: strict <
-                a_p, t_p = plane_at[k]
-                w = w * (1.0 - jnp.where(t_p < t_i, a_p, 0.0))
+
+            def pbody(k, w):            # plane index ns+k > ii: strict <
+                a_p, t_p = plane_cover(k)
+                return w * (1.0 - jnp.where(t_p < t_i, a_p, 0.0))
+            w = _fold_objects(npl, pbody, w)
             return out_r + w * sr, out_g + w * sg, out_b + w * sb
 
         zero = jnp.zeros(shape, jnp.float32)
         out_r, out_g, out_b = _fold_objects(ns, sphere_body,
                                             (zero, zero, zero))
-        for k in range(npl):
-            a_i, t_i = plane_at[k]
-            sr, sg, sb = plane_rgb(k, t_i)
-            # every sphere index < ns + k: non-strict closer test
-            def body(jj, w, t_i=t_i):
+
+        def plane_body(kk, carry):
+            out_r, out_g, out_b = carry
+            a_i, t_i = plane_cover(kk)
+            sr, sg, sb = plane_rgb(kk, t_i)
+
+            def body(jj, w):    # every sphere index < ns + kk: non-strict
                 a_j, t_j = sphere_cover(jj, ox, oy, oz, dx, dy, dz)
                 return w * (1.0 - jnp.where(t_j <= t_i, a_j, 0.0))
             w = _fold_objects(ns, body, a_i)
-            for k2 in range(npl):
-                if k2 == k:
-                    continue
-                a_j, t_j = plane_at[k2]
-                closer = (t_j <= t_i) if k2 < k else (t_j < t_i)
-                w = w * (1.0 - jnp.where(closer, a_j, 0.0))
-            out_r += w * sr
-            out_g += w * sg
-            out_b += w * sb
+
+            def pbody(k2, w):   # stable index tie-break among planes
+                a_j, t_j = plane_cover(k2)
+                closer = (t_j < t_i) | ((t_j <= t_i) & (k2 < kk))
+                return w * (1.0 - jnp.where(closer, a_j, 0.0))
+            w = _fold_objects(npl, pbody, w)
+            return out_r + w * sr, out_g + w * sg, out_b + w * sb
+
+        out_r, out_g, out_b = _fold_objects(npl, plane_body,
+                                            (out_r, out_g, out_b))
         out_ref[0], out_ref[1], out_ref[2] = out_r, out_g, out_b
 
     return kernel
@@ -251,9 +258,6 @@ def render_image_soft_pallas(camera, scene, *, tau=0.05, tile_w: int = 40,
     benchmarks)."""
     W, H = camera.resolution
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
-    assert npl <= _UNROLL_LIMIT, (
-        f"soft kernel keeps planes unrolled; {npl} > {_UNROLL_LIMIT} planes "
-        f"— use the jnp path (render_image_soft)")
     if rolled is None:
         rolled = ns + npl > _SOFT_UNROLL_LIMIT
     params = _pack_params(camera, scene, False)   # clean-mode grid

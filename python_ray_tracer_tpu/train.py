@@ -53,17 +53,10 @@ def soft_pixel_loss(camera, target, *, tau: float = 0.05,
     from .ops.soft import render_image_soft
 
     if backend == "pallas" and bounce_depth == 0:
-        from .ops.pallas.render_pallas import _UNROLL_LIMIT
         from .ops.pallas.soft_pallas import render_image_soft_fast
 
         def loss(scene):
-            if scene.planes.count > _UNROLL_LIMIT:
-                # kernel keeps planes unrolled; mirror the CLI's graceful
-                # jnp fallback instead of the kernel's assert
-                img = render_image_soft(camera, scene, tau=tau,
-                                        row_chunk=row_chunk)
-            else:
-                img = render_image_soft_fast(camera, scene, tau, interpret)
+            img = render_image_soft_fast(camera, scene, tau, interpret)
             return jnp.mean((img - target) ** 2)
         return loss
 
@@ -406,17 +399,14 @@ def fit_scene_soft(init_scene: Scene, camera, target_scene: Scene, *,
 
     def render_target(tau):
         if backend == "pallas" and bounce_depth == 0:
-            from .ops.pallas.render_pallas import _UNROLL_LIMIT
-            if target_scene.planes.count <= _UNROLL_LIMIT:
-                from .ops.pallas.soft_pallas import render_image_soft_pallas
-                return render_image_soft_pallas(camera, target_scene, tau=tau,
-                                                interpret=interpret)
+            from .ops.pallas.soft_pallas import render_image_soft_pallas
+            return render_image_soft_pallas(camera, target_scene, tau=tau,
+                                            interpret=interpret)
         return render_image_soft(camera, target_scene, tau=tau,
                                  bounce_depth=bounce_depth)
 
     from .ops.pallas.render_pallas import _UNROLL_LIMIT
     use_fused = (backend == "pallas" and bounce_depth == 0
-                 and init_scene.planes.count <= _UNROLL_LIMIT
                  and init_scene.lights.count <= _UNROLL_LIMIT)
 
     scene = init_scene

@@ -35,8 +35,9 @@ def test_cli_render_clean_and_soft(tmp_path):
 
 
 def test_render_fn_routes_dense_soft_to_kernel():
-    """Dense soft scenes route through the rolled pallas kernel now (the old
-    24-object jnp fallback is gone); only >16 planes still fall back to jnp."""
+    """Dense soft scenes route through the rolled pallas kernel — including
+    >16 planes (round 5: plane folds roll like sphere folds; the last
+    jnp fallback class is gone)."""
     import dataclasses
     import jax
     from python_ray_tracer_tpu.cli import _render_fn
@@ -51,7 +52,7 @@ def test_render_fn_routes_dense_soft_to_kernel():
         dense, planes=rt.Planes.build(
             [([5 + i, 0, 0], [0, 0, 1], rt.GREY) for i in range(17)]))
     fn2 = _render_fn(cfg, soft_tau=0.05, scene=many_planes)
-    assert "render_image_soft_pallas" not in fn2.__code__.co_freevars
+    assert "render_image_soft_pallas" in fn2.__code__.co_freevars
 
 
 def test_cli_random_scene(tmp_path):
