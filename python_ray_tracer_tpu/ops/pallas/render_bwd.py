@@ -59,6 +59,9 @@ from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
 
 _DEN_EPS = 1e-6   # grazing-hit clamp for implicit-function t adjoints
 
+import os as _os
+_ATTR_SLABS = _os.environ.get("RT_AA_ATTR_SLABS", "1") != "0"  # bench A/B hook
+
 
 def _vsum(x):
     return jnp.sum(x)
@@ -761,9 +764,15 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
         slots = dict(slots, loss=n_grads)
         n_grads += 1
     per_sample = aliasing and not aa_share
-    # phase-A residual kinds: t, hit_obj, attr (ar, ag, ab, qx, qy, qz),
-    # occ[l] — storing the attributes lets phase C skip the attr fold too
-    n_kinds = 8 + nl
+    # Phase-A residual kinds: t, hit_obj, [attr (ar, ag, ab, qx, qy, qz)],
+    # occ[l]. The attr slabs buy phase C out of the hit-attribute fold — a
+    # win only when that fold is expensive (rolled scenes): at demo scale
+    # (ns=6) the 6 extra slab round-trips per (chain, bounce) measured
+    # SLOWER than the near-free unrolled fold (17.9 -> 19.4 ms @1080p), at
+    # ns > _UNROLL_LIMIT the fold is a chunk-rolled sweep and the slabs win
+    # (RT_AA_ATTR_SLABS=0 disables, for A/B measurement only).
+    attr_slabs = ns > _UNROLL_LIMIT and _ATTR_SLABS
+    n_kinds = (8 if attr_slabs else 2) + nl
     inv_denom = 1.0 / float(W * H * 3)   # GLOBAL mean denominator (slices sum)
 
     def kernel(params, sph, pln, lts, *rest):
@@ -889,10 +898,13 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
                     grp=grp if bounce > 0 else None, grp_refs=gr_v)
                 rres(chain_id, bounce, 0, shp)[...] = res["t"]
                 rres(chain_id, bounce, 1, shp)[...] = res["hit_obj"]
-                for k_, v_ in enumerate(res["albedo"] + res["q"]):
-                    rres(chain_id, bounce, 2 + k_, shp)[...] = v_
+                occ0 = 2
+                if attr_slabs:
+                    for k_, v_ in enumerate(res["albedo"] + res["q"]):
+                        rres(chain_id, bounce, 2 + k_, shp)[...] = v_
+                    occ0 = 8
                 for l in range(nl):
-                    rres(chain_id, bounce, 8 + l, shp)[...] = res["occs"][l]
+                    rres(chain_id, bounce, occ0 + l, shp)[...] = res["occs"][l]
                 for c in range(3):
                     out[c] = out[c] + weight * rgb[c]
                 aliveprod = aliveprod * res["alive_f"]
@@ -920,13 +932,16 @@ def _make_bwd_kernel(*, W, H, U, V, TW, TH, depth, ns, npl, nl, compat,
             for bounce in range(depth + 1):
                 pre = None
                 if replay:
+                    occ0 = 8 if attr_slabs else 2
                     pre = dict(
                         t=rres(chain_id, bounce, 0, shp)[...],
                         hit_obj=rres(chain_id, bounce, 1, shp)[...],
-                        attr=tuple(rres(chain_id, bounce, 2 + k_, shp)[...]
-                                   for k_ in range(6)),
-                        occs=[rres(chain_id, bounce, 8 + l, shp)[...]
+                        occs=[rres(chain_id, bounce, occ0 + l, shp)[...]
                               for l in range(nl)])
+                    if attr_slabs:
+                        pre["attr"] = tuple(
+                            rres(chain_id, bounce, 2 + k_, shp)[...]
+                            for k_ in range(6))
                 rgb, o_next, d_next, alive, res = _fwd_trace_res(
                     params, sph, ns, pln, npl, lts, nl, o_cur, d_cur,
                     compat=compat, shape=shp, cheap_shadow=cheap_shadow,
@@ -1364,11 +1379,14 @@ def _scene_grads_pallas(camera, scene, g_image, *, depth: int = 2,
     args.append(g_chw)
     scratch = []
     if fused_loss and aliasing:
-        # Phase-A residual slabs: (t, hit_obj, attr x6, occ[l]) x (depth+1)
-        # bounces x 6 chains, allocated at the widest chain shape (TW+8, TH).
-        # Demo scene (nl=3, depth=2) at TW=24/TH=128: 198 slabs, ~3.2 MB VMEM
-        # — the attr slabs buy phase C out of the hit-attribute fold.
-        scratch = [pltpu.VMEM(((8 + nl) * (depth + 1) * 6, TW + 8, TH),
+        # Phase-A residual slabs: (t, hit_obj, [attr x6 on rolled scenes],
+        # occ[l]) x (depth+1) bounces x 6 chains, allocated at the widest
+        # chain shape (TW+8, TH). Demo scene (nl=3, depth=2) at TW=24/TH=128:
+        # 90 slabs ~1.4 MB; rolled scenes add the attr kinds (198 slabs,
+        # ~3.2 MB) to buy phase C out of the chunk-rolled attribute fold.
+        n_kinds_alloc = (8 if (ns > _UNROLL_LIMIT and _ATTR_SLABS)
+                         else 2) + nl
+        scratch = [pltpu.VMEM((n_kinds_alloc * (depth + 1) * 6, TW + 8, TH),
                               jnp.float32)]
     if grouped:
         # Grouped-fold state slabs (8 reusable (TW+8, TH) rows); the kernel
