@@ -185,21 +185,19 @@ def test_soft_pallas_rolled_matches_unrolled():
 
 @pytest.mark.slow  # 17 s autodiff-through-interpret trace; forward parity stays fast
 def test_soft_pallas_fast_grads_match_jnp():
-    """custom_vjp wrapper: gradients equal the jnp soft path's gradients."""
+    """custom_vjp wrapper: gradients equal the jnp soft path's gradients.
+
+    ``interpret`` is a nondiff argument of render_image_soft_fast and now
+    routes BOTH the forward kernel and the fused adjoint kernel (soft_bwd)
+    through the interpreter — no monkeypatching (the old patch forced only
+    the forward, which broke once the backward became a kernel too)."""
     import jax
     import numpy as np
     from python_ray_tracer_tpu.ops.pallas import soft_pallas as sp
     cam = rt.default_camera((16, 16))
     scene = rt.default_scene()
-    orig = sp.render_image_soft_pallas
-    try:
-        sp.render_image_soft_pallas = lambda c, s, **kw: orig(
-            c, s, interpret=True, **{k: v for k, v in kw.items()
-                                     if k != "interpret"})
-        g_fast = jax.grad(
-            lambda s: (sp.render_image_soft_fast(cam, s, 0.05) ** 2).sum())(scene)
-    finally:
-        sp.render_image_soft_pallas = orig
+    g_fast = jax.grad(
+        lambda s: (sp.render_image_soft_fast(cam, s, 0.05, True) ** 2).sum())(scene)
     g_ref = jax.grad(
         lambda s: (rt.render_image_soft(cam, s, tau=0.05) ** 2).sum())(scene)
     for a, b in zip(jax.tree_util.tree_leaves(g_fast),
