@@ -186,6 +186,18 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
             a_p = (den_ok & (t_pre > 0.0)).astype(jnp.float32)
             return a_p, jnp.maximum(t_pre, 1e-4)
 
+        # Below the unroll limit the per-tile plane covers are computed once
+        # and closed over (sphere_prelude's plane factors run per outer
+        # sphere — the common 1-plane case must not pay a recompute per i);
+        # above it, plane folds recompute like sphere folds.
+        if npl <= _UNROLL_LIMIT:
+            _pcache = [plane_cover(k) for k in range(npl)]
+
+            def plane_at(k):
+                return _pcache[k]
+        else:
+            plane_at = plane_cover
+
         def light_geom(Px, Py, Pz):
             Ls = []
             for l in range(nl):
@@ -334,7 +346,7 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
             w, vis = fold1("sphere", i_idx, t_i, cv["a"], Px, Py, Pz, Ls)
 
             def pbody(k, w):              # plane index ns+k > i: strict
-                a_p, t_p = plane_cover(k)
+                a_p, t_p = plane_at(k)
                 return w * (1.0 - jnp.where(t_p < t_i, a_p, 0.0))
             w = _fold_objects(npl, pbody, w)
             A = (sph[4, i_idx], sph[5, i_idx], sph[6, i_idx])
@@ -343,14 +355,14 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
                 ldotns, relus
 
         def plane_prelude(k):
-            a_p, t_p = plane_cover(k)
+            a_p, t_p = plane_at(k)
             Px, Py, Pz = ox + t_p * dx, oy + t_p * dy, oz + t_p * dz
             N = (pln[3, k], pln[4, k], pln[5, k])
             Ls = light_geom(Px, Py, Pz)
             w, vis = fold1("plane", ns + k, t_p, a_p, Px, Py, Pz, Ls)
 
             def pbody(k2, w):   # stable index tie-break; k2==k self-excludes
-                a_2, t_2 = plane_cover(k2)
+                a_2, t_2 = plane_at(k2)
                 closer = (t_2 < t_p) | ((t_2 <= t_p) & (k2 < k))
                 return w * (1.0 - jnp.where(closer, a_2, 0.0))
             w = _fold_objects(npl, pbody, w)

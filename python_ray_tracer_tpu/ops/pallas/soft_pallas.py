@@ -26,9 +26,10 @@ ascending, then planes), so rolled == unrolled to FMA-contraction ULPs.
 Scope mirrors soft.py: clean-mode camera, primary visibility + ambient +
 soft-shadowed Lambert, opaque planes, no mirror bounces. Differentiability:
 :func:`render_image_soft_fast` wraps this forward in a ``custom_vjp`` whose
-backward is XLA autodiff of the jnp path (the soft renderer is the
-optimization renderer — its gradients matter more than its pixels, and the
-jnp backward is already fast at fit resolutions).
+backward is the hand-derived fused adjoint kernel (soft_bwd.py) — the whole
+soft ``value_and_grad`` runs at kernel speed (5.9x the jnp step at
+100 spheres/128², 9.5x at 512²); scenes with >16 lights keep the old
+jnp-autodiff backward.
 """
 from __future__ import annotations
 
@@ -122,8 +123,8 @@ def _make_soft_kernel(*, W, H, TW, TH, ns, npl, nl, swap_xy, rolled=False):
             return sr, sg, sb
 
         def plane_cover(k):
-            """Hard plane coverage + depth (static index; planes stay
-            unrolled — their count is bounded by the CLI/resolver gate)."""
+            """Hard plane coverage + depth (static OR traced index — the
+            rolled path folds planes like spheres)."""
             nx_, ny_, nz_ = pln[3, k], pln[4, k], pln[5, k]
             den = dx * nx_ + dy * ny_ + dz * nz_
             den_safe = jnp.where(jnp.abs(den) > 1e-8, den, 1.0)
@@ -194,7 +195,16 @@ def _make_soft_kernel(*, W, H, TW, TH, ns, npl, nl, swap_xy, rolled=False):
         # because t_i < t_i is false. Planes roll through the same
         # _fold_objects machinery (unrolling below the limit), so any plane
         # count works — the tie-break against a static-or-traced plane index
-        # is the same boolean algebra as the sphere case.
+        # is the same boolean algebra as the sphere case. Below the limit
+        # the per-tile plane covers are computed ONCE and closed over (the
+        # common 1-ground-plane case must not pay a recompute per sphere).
+        if npl <= _UNROLL_LIMIT:
+            _pcache = [plane_cover(k) for k in range(npl)]
+
+            def plane_at(k):
+                return _pcache[k]
+        else:
+            plane_at = plane_cover
 
         def w_vs_spheres(i_idx, t_i, w):
             def body(jj, w):
@@ -212,7 +222,7 @@ def _make_soft_kernel(*, W, H, TW, TH, ns, npl, nl, swap_xy, rolled=False):
             w = w_vs_spheres(ii, t_i, a_i)
 
             def pbody(k, w):            # plane index ns+k > ii: strict <
-                a_p, t_p = plane_cover(k)
+                a_p, t_p = plane_at(k)
                 return w * (1.0 - jnp.where(t_p < t_i, a_p, 0.0))
             w = _fold_objects(npl, pbody, w)
             return out_r + w * sr, out_g + w * sg, out_b + w * sb
@@ -223,7 +233,7 @@ def _make_soft_kernel(*, W, H, TW, TH, ns, npl, nl, swap_xy, rolled=False):
 
         def plane_body(kk, carry):
             out_r, out_g, out_b = carry
-            a_i, t_i = plane_cover(kk)
+            a_i, t_i = plane_at(kk)
             sr, sg, sb = plane_rgb(kk, t_i)
 
             def body(jj, w):    # every sphere index < ns + kk: non-strict
@@ -232,7 +242,7 @@ def _make_soft_kernel(*, W, H, TW, TH, ns, npl, nl, swap_xy, rolled=False):
             w = _fold_objects(ns, body, a_i)
 
             def pbody(k2, w):   # stable index tie-break among planes
-                a_j, t_j = plane_cover(k2)
+                a_j, t_j = plane_at(k2)
                 closer = (t_j < t_i) | ((t_j <= t_i) & (k2 < kk))
                 return w * (1.0 - jnp.where(closer, a_j, 0.0))
             w = _fold_objects(npl, pbody, w)
@@ -314,6 +324,25 @@ def _fwd(camera, scene, tau, interpret):
 
 def _bwd(tau, interpret, res, g):
     camera, scene = res
+    if scene.lights.count > _UNROLL_LIMIT:
+        # The adjoint kernel unrolls lights (register pressure bounds the
+        # count); exotic light counts keep the old jnp-vjp backward, with
+        # the row-chunk remat bound from the r4 form (the jnp soft path
+        # materializes f32[rows, H, K, ns, nl]-class intermediates).
+        from ..soft import render_image_soft
+        W, H = camera.resolution
+        ns = scene.spheres.count
+        K = ns + scene.planes.count
+        nl = scene.lights.count
+        per_row = max(H * K * (ns * max(nl, 1) + K * 3), 1)
+        chunk = max(1, min(W, (1 << 28) // per_row))   # ~256M f32 = 1 GB
+        while W % chunk:
+            chunk -= 1
+        rc = None if chunk >= W else chunk
+        _, vjp = jax.vjp(lambda c, s: render_image_soft(c, s, tau=tau,
+                                                        row_chunk=rc),
+                         camera, scene)
+        return vjp(g)
     from .soft_bwd import soft_scene_grads_pallas
     scene_g, camera_g = soft_scene_grads_pallas(camera, scene, g, tau=tau,
                                                 interpret=interpret,

@@ -18,10 +18,12 @@ This module renders with *soft* visibility in the spirit of SoftRasterizer
     ray — soft shadows with usable gradients w.r.t. occluder geometry;
   * planes are opaque (their silhouette is the horizon, not useful to soften).
 
-Scope: primary visibility + Lambert + ambient + soft shadows. No mirror bounces —
-this is the *optimization* renderer; render the fitted scene with the hard path.
-Cost is O(K^2 L) per pixel (every object shaded, every shadow ray swept), fine for
-the few-hundred-object scenes inverse rendering targets.
+Scope: primary visibility + Lambert + ambient + soft shadows, plus an optional
+depth-1 mirror bounce (``bounce_depth=1`` — hard bounce radiance under the soft
+compositing weights, for fitting ``materials.reflection``). This is the
+*optimization* renderer; render the fitted scene with the hard path. Cost is
+O(K^2 L) per pixel (every object shaded, every shadow ray swept), fine for the
+few-hundred-object scenes inverse rendering targets.
 
 There is no reference analogue (the reference has no backward pass at all).
 """
@@ -100,7 +102,7 @@ def _shade_all(P, N, albedo, ray_batch_shape, scene, tau):
     return rgb
 
 
-def _mirror_bounce_rgb(P, N, ray_d, scene, tau):
+def _mirror_bounce_rgb(P, N, ray_d, scene):
     """Hard-visibility mirror-bounce radiance from per-object hit points.
 
     The silhouette-aware term of the soft renderer is the PRIMARY coverage
@@ -142,8 +144,7 @@ def render_rays_soft(ray_o, ray_d, scene, *, tau: float = 0.05,
         rgb_s = _shade_all(P_s, N_s, scene.spheres.albedo, ray_o.shape[:-1],
                            scene, tau)
         if bounce_depth:
-            rgb_s = rgb_s + refl * _mirror_bounce_rgb(P_s, N_s, ray_d, scene,
-                                                      tau)
+            rgb_s = rgb_s + refl * _mirror_bounce_rgb(P_s, N_s, ray_d, scene)
         parts_alpha.append(a_s)
         parts_t.append(t_s)
         parts_rgb.append(rgb_s)
@@ -156,8 +157,7 @@ def render_rays_soft(ray_o, ray_d, scene, *, tau: float = 0.05,
         rgb_p = _shade_all(P_p, N_p, scene.planes.albedo, ray_o.shape[:-1],
                            scene, tau)
         if bounce_depth:
-            rgb_p = rgb_p + refl * _mirror_bounce_rgb(P_p, N_p, ray_d, scene,
-                                                      tau)
+            rgb_p = rgb_p + refl * _mirror_bounce_rgb(P_p, N_p, ray_d, scene)
         parts_alpha.append(a_p)
         parts_t.append(t_p)
         parts_rgb.append(rgb_p)

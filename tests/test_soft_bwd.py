@@ -213,3 +213,27 @@ def test_soft_bwd_rolled_planes():
     _, scn_j = vjp(g)
     scn_k = soft_scene_grads_pallas(cam, scene, g, tau=TAU, interpret=True)
     _assert_scene_grads_close(scn_k, scn_j)
+
+
+def test_soft_fast_exotic_light_count_falls_back_to_jnp():
+    """>16 lights: the adjoint kernel unrolls lights, so the custom_vjp
+    backward falls back to jnp autodiff instead of crashing (round-5 review
+    regression: the kernel's nl assert fired at trace time)."""
+    import dataclasses
+    from python_ray_tracer_tpu.ops.pallas.soft_pallas import (
+        render_image_soft_fast)
+    base = _scene_small()
+    lts = jax.random.uniform(jax.random.PRNGKey(9), (17, 3),
+                             minval=-4.0, maxval=4.0) + jnp.asarray([0, 0, 6.0])
+    scene = dataclasses.replace(base, lights=rt.Lights(lts.astype(jnp.float32)))
+    cam = rt.default_camera((16, 16))
+
+    def loss_fast(s):
+        return jnp.mean(render_image_soft_fast(cam, s, TAU, True) ** 2)
+
+    def loss_jnp(s):
+        return jnp.mean(render_image_soft(cam, s, tau=TAU) ** 2)
+
+    g_f = jax.grad(loss_fast)(scene)
+    g_j = jax.grad(loss_jnp)(scene)
+    _assert_scene_grads_close(g_f, g_j)
