@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
-                            _P_DZ, _P_AMB, _P_LAMB, _UNROLL_LIMIT,
+                            _P_DZ, _P_AMB, _P_LAMB, _P_X0, _UNROLL_LIMIT,
                             _fold_objects, _pack_params, _rnorm, _resolve_swap)
 from .render_bwd import grad_layout, unflatten_grads, _norm_adj
 
@@ -90,8 +90,13 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
         fv = (j_pid * TH).astype(jnp.float32)
         su = fu + jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
         sv = fv + jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        # pad-lane mask in LOCAL slice coordinates; the global image-x adds
+        # the shard's column offset (ray-DP sharding — render_bwd pattern)
         inb = (su < U) & (sv < V)
-        px, py = (su, sv) if not swap_xy else (sv, su)
+        if not swap_xy:
+            px, py = su + params[_P_X0], sv
+        else:
+            px, py = sv + params[_P_X0], su
 
         # --- analytic ray generation (clean-mode grid, == soft_pallas) --------
         pcx = params[_P_FOCAL]
@@ -514,15 +519,18 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_w", "tile_h", "interpret",
-                                             "return_camera", "fused_loss"))
+                                             "return_camera", "fused_loss",
+                                             "local_width"))
 def _soft_grads_pallas(camera, scene, g_or_target, tau, *, tile_w: int = 40,
                        tile_h: int = 128, interpret: bool = False,
-                       return_camera: bool = False, fused_loss: bool = False):
+                       return_camera: bool = False, fused_loss: bool = False,
+                       x_offset=0.0, local_width: int | None = None):
     W, H = camera.resolution
+    W_out = W if local_width is None else local_width
     ns, npl, nl = scene.spheres.count, scene.planes.count, scene.lights.count
     assert nl <= _UNROLL_LIMIT, (
         "soft backward keeps lights unrolled — use the jnp path")
-    params = _pack_params(camera, scene, False)   # clean-mode grid
+    params = _pack_params(camera, scene, False, x_offset)  # clean-mode grid
     extra = jnp.asarray([tau], jnp.float32)
     sph = jnp.concatenate([
         scene.spheres.center.T.astype(jnp.float32),
@@ -537,9 +545,9 @@ def _soft_grads_pallas(camera, scene, g_or_target, tau, *, tile_w: int = 40,
     lts = (scene.lights.position.T.astype(jnp.float32) if nl else
            jnp.zeros((3, 1), jnp.float32))
 
-    swap_xy = _resolve_swap(W, H)
-    U = H if swap_xy else W
-    V = W if swap_xy else H
+    swap_xy = _resolve_swap(W_out, H)
+    U = H if swap_xy else W_out
+    V = W_out if swap_xy else H
     TW = min(tile_w, U)
     TH = tile_h
     kernel, n_grads = _make_soft_bwd_kernel(W=W, H=H, U=U, V=V, TW=TW, TH=TH,
@@ -578,10 +586,17 @@ def soft_scene_grads_pallas(camera, scene, g_image, *, tau: float = 0.05,
 def soft_loss_and_grads_pallas(camera, scene, target, *, tau: float = 0.05,
                                tile_w: int = 40, tile_h: int = 128,
                                interpret: bool = False,
-                               return_camera: bool = False):
+                               return_camera: bool = False,
+                               x_offset=0.0, local_width: int | None = None):
     """Fully-fused soft training step: ONE kernel renders each tile, forms the
     MSE loss/cotangent against ``target`` in-registers, and reverse-sweeps.
-    Returns ``(loss, scene_grads)`` (+ camera grads with ``return_camera``)."""
+    Returns ``(loss, scene_grads)`` (+ camera grads with ``return_camera``).
+
+    On a vertical slice (``x_offset``/``local_width`` — ray-DP sharding) the
+    loss partial carries the GLOBAL mean denominator, so shard partials psum
+    to the full-image MSE (train.soft_value_and_grad_sharded), exactly like
+    the hard path's fused step."""
     return _soft_grads_pallas(camera, scene, target, tau, tile_w=tile_w,
                               tile_h=tile_h, interpret=interpret,
-                              return_camera=return_camera, fused_loss=True)
+                              return_camera=return_camera, fused_loss=True,
+                              x_offset=x_offset, local_width=local_width)

@@ -187,6 +187,45 @@ def pallas_value_and_grad_sharded(camera, mesh, *, depth: int = 2,
                      check_vma=False)
 
 
+def soft_value_and_grad_sharded(camera, mesh, *, tau: float = 0.05,
+                                axis: str = "rays",
+                                pallas_interpret: bool = False):
+    """``(scene, target) -> (loss, grads)`` over a device mesh for the SOFT
+    training step: ray-DP with the fused soft kernels on every shard.
+
+    The exact shape of :func:`pallas_value_and_grad_sharded` applied to the
+    optimization renderer: each device runs the fully-fused soft step
+    (soft_bwd.soft_loss_and_grads_pallas) on its vertical slice — analytic
+    ray generation at the global pixel index, zero-communication forward —
+    and the per-shard scene gradients and loss partials are ``psum``'d over
+    ICI. The loss partial carries the GLOBAL denominator, so the psum IS the
+    full-image MSE. ``target`` must be sharded over its leading (width) axis.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from .ops.pallas.soft_bwd import soft_loss_and_grads_pallas
+
+    W, H = camera.resolution
+    n = mesh.shape[axis]
+    assert W % n == 0, f"width {W} must divide over {n} shards"
+    rows_per = W // n
+
+    def shard_fn(scene, target):
+        i = jax.lax.axis_index(axis)
+        x0 = (i * rows_per).astype(jnp.float32)
+        loss_part, grads = soft_loss_and_grads_pallas(
+            camera, scene, target, tau=tau, x_offset=x0,
+            local_width=rows_per, interpret=pallas_interpret)
+        loss = jax.lax.psum(loss_part, axis)
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis),
+                                       grads)
+        return loss, grads
+
+    return shard_map(shard_fn, mesh=mesh,
+                     in_specs=(P(), P(axis)), out_specs=(P(), P()),
+                     check_vma=False)
+
+
 def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
                     trainable: Optional[Sequence[str]] = None,
                     value_and_grad: Optional[Callable] = None):
@@ -384,14 +423,16 @@ def fit_scene_soft(init_scene: Scene, camera, target_scene: Scene, *,
                    trainable: Optional[Sequence[str]] = ("spheres.center",),
                    logger: Optional[MetricsLogger] = None,
                    backend: str = "jnp", interpret: bool = False,
-                   bounce_depth: int = 0):
+                   bounce_depth: int = 0, mesh=None):
     """Coarse-to-fine soft-visibility fitting (anneal ``tau`` toward hard).
 
     At each ``tau`` the *target* is re-rendered from ``target_scene`` with the same
     softness, so only geometry/material mismatch drives the loss. Robust where the
     hard a.e. gradient misleads (overlapping silhouettes — see ops/soft.py).
     ``backend="pallas"`` runs forward AND backward through the fused Mosaic
-    kernels (soft_pallas + soft_bwd). ``bounce_depth=1`` adds the depth-1
+    kernels (soft_pallas + soft_bwd); with a ``mesh`` the step runs ray-DP
+    sharded (fused soft kernels per shard, psum'd loss/grads —
+    :func:`soft_value_and_grad_sharded`). ``bounce_depth=1`` adds the depth-1
     mirror bounce (jnp path — fits ``materials.reflection`` and reflective
     appearance). Returns ``(scene, losses)``.
     """
@@ -417,10 +458,18 @@ def fit_scene_soft(init_scene: Scene, camera, target_scene: Scene, *,
         optimizer = optax.adam(lr)
         if use_fused:
             # the whole step is ONE kernel: soft forward + in-register MSE +
-            # hand-derived reverse sweep (ops/pallas/soft_bwd.py)
-            from .ops.pallas.soft_bwd import soft_loss_and_grads_pallas
-            vg = (lambda tgt, tu: lambda s: soft_loss_and_grads_pallas(
-                camera, s, tgt, tau=tu, interpret=interpret))(target, tau)
+            # hand-derived reverse sweep (ops/pallas/soft_bwd.py) — per shard
+            # when a mesh is given, with psum'd loss/grads
+            if mesh is not None:
+                from .parallel.mesh import image_sharding
+                vg_st = soft_value_and_grad_sharded(
+                    camera, mesh, tau=tau, pallas_interpret=interpret)
+                tgt_sh = jax.device_put(target, image_sharding(mesh))
+                vg = (lambda v, t: lambda s: v(s, t))(vg_st, tgt_sh)
+            else:
+                from .ops.pallas.soft_bwd import soft_loss_and_grads_pallas
+                vg = (lambda tgt, tu: lambda s: soft_loss_and_grads_pallas(
+                    camera, s, tgt, tau=tu, interpret=interpret))(target, tau)
             step = make_train_step(None, optimizer, trainable,
                                    value_and_grad=vg)
         else:

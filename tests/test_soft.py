@@ -144,6 +144,9 @@ def test_soft_pallas_rolled_matches_jnp_dense():
     np.testing.assert_allclose(out, ref, atol=2e-4)
 
 
+@pytest.mark.slow  # ~7 min: value_and_grad now traces the fused adjoint
+# kernel (soft_bwd) for the 6-sphere demo in interpret mode; the same kernel's
+# grad parity runs fast in test_soft_bwd.py on a smaller scene
 def test_soft_pixel_loss_pallas_backend_matches_jnp():
     """soft_pixel_loss(backend='pallas') — fused-kernel forward, jnp-path
     gradients via render_image_soft_fast's custom_vjp — must match the pure

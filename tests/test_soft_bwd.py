@@ -83,6 +83,7 @@ def test_soft_bwd_matches_jnp_vjp_rolled():
     _assert_scene_grads_close(scn_k, scn_j)
 
 
+@pytest.mark.slow  # the fit test drives the fused kernel end-to-end in 8 s
 def test_soft_bwd_fused_loss_step():
     """Fused single-kernel training step: loss == jnp MSE, grads == jax.grad."""
     cam = rt.default_camera((24, 16))
@@ -215,6 +216,7 @@ def test_soft_bwd_rolled_planes():
     _assert_scene_grads_close(scn_k, scn_j)
 
 
+@pytest.mark.slow  # 42 s: 17-light unrolled jnp trace
 def test_soft_fast_exotic_light_count_falls_back_to_jnp():
     """>16 lights: the adjoint kernel unrolls lights, so the custom_vjp
     backward falls back to jnp autodiff instead of crashing (round-5 review
@@ -237,3 +239,78 @@ def test_soft_fast_exotic_light_count_falls_back_to_jnp():
     g_f = jax.grad(loss_fast)(scene)
     g_j = jax.grad(loss_jnp)(scene)
     _assert_scene_grads_close(g_f, g_j)
+
+
+@pytest.mark.slow  # ~2 min (3 interpret kernel traces); dryrun_multichip
+# asserts the sharded==single invariant, which subsumes slicing, every round
+def test_soft_fused_loss_slices_sum_to_full():
+    """Ray-DP slices of the fused soft step: per-slice loss partials (GLOBAL
+    denominator) and gradients must sum to the full-image values — the
+    sharded soft training psum's invariant."""
+    cam = rt.default_camera((16, 16))
+    scene = _scene_small()
+    target = jax.random.uniform(jax.random.PRNGKey(8), (16, 16, 3), jnp.float32)
+    kw = dict(tau=TAU, interpret=True)
+    lf, gf = soft_loss_and_grads_pallas(cam, scene, target, **kw)
+    ll, gl = soft_loss_and_grads_pallas(cam, scene, target[:8],
+                                        x_offset=0.0, local_width=8, **kw)
+    lh, gh = soft_loss_and_grads_pallas(cam, scene, target[8:],
+                                        x_offset=8.0, local_width=8, **kw)
+    np.testing.assert_allclose(float(ll) + float(lh), float(lf), rtol=1e-5)
+    for a, b, c in zip(jax.tree_util.tree_leaves(gf),
+                       jax.tree_util.tree_leaves(gl),
+                       jax.tree_util.tree_leaves(gh)):
+        np.testing.assert_allclose(np.asarray(b) + np.asarray(c),
+                                   np.asarray(a), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow  # dryrun_multichip asserts the same equality per round
+def test_soft_sharded_value_and_grad_matches_single():
+    """soft_value_and_grad_sharded over the 8-virtual-device mesh == the
+    single-device fused soft step (exactly two psums)."""
+    from python_ray_tracer_tpu import train
+    from python_ray_tracer_tpu.parallel.mesh import make_mesh, image_sharding
+    mesh = make_mesh(jax.devices()[:8])
+    cam = rt.default_camera((32, 16))
+    scene = _scene_small()
+    target = jax.random.uniform(jax.random.PRNGKey(10), (32, 16, 3),
+                                jnp.float32)
+    vg = train.soft_value_and_grad_sharded(cam, mesh, tau=TAU,
+                                           pallas_interpret=True)
+    l_sh, g_sh = vg(scene, jax.device_put(target, image_sharding(mesh)))
+    l_1, g_1 = soft_loss_and_grads_pallas(cam, scene, target, tau=TAU,
+                                          interpret=True)
+    np.testing.assert_allclose(float(l_sh), float(l_1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sh),
+                    jax.tree_util.tree_leaves(g_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.slow  # 8-shard interpret trace x several steps
+def test_soft_fit_sharded_converges():
+    """fit_scene_soft(backend="pallas", mesh=...): the sharded fused soft
+    step drives the anneal end-to-end."""
+    from python_ray_tracer_tpu import train
+    from python_ray_tracer_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(jax.devices()[:4])
+    cam = rt.default_camera((32, 32))
+    target_scene = rt.Scene(
+        rt.Spheres.build([([4.0, 0.0, 0.8], 1.0, rt.RED)]),
+        rt.Planes.build([([0.0, 0.0, -1.0], [0.0, 0.0, 1.0], rt.GREY)]),
+        rt.Lights.build([[0.0, 2.0, 6.0]]),
+        rt.Materials.build(ambient=0.3, lambert=0.6))
+    init = dataclasses.replace(
+        target_scene,
+        spheres=dataclasses.replace(
+            target_scene.spheres,
+            center=target_scene.spheres.center + jnp.asarray([[0.0, 0.8, 0.3]])))
+    fitted, losses = train.fit_scene_soft(
+        init, cam, target_scene, steps=20, lr=5e-2, taus=(0.1,),
+        trainable=("spheres.center",), backend="pallas", interpret=True,
+        mesh=mesh)
+    err0 = float(jnp.abs(init.spheres.center
+                         - target_scene.spheres.center).max())
+    err1 = float(jnp.abs(fitted.spheres.center
+                         - target_scene.spheres.center).max())
+    assert err1 < 0.6 * err0, (err0, err1)
