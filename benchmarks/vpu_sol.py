@@ -50,21 +50,28 @@ _WRAPPERS = {"jit", "pjit", "closed_call", "custom_jvp_call",
              "custom_vjp_call", "remat", "checkpoint", "custom_vjp_call_jaxpr"}
 
 
-def _walk(jaxpr, counts):
+def _walk(jaxpr, counts, mult=1):
+    """Count vector ops by class, weighting loop bodies by their static trip
+    count (``scan``/``fori_loop`` carry ``length``; rolled object folds would
+    otherwise be counted once). ``while_loop`` has no static count — its body
+    is counted once (an undercount; the render kernels use fori/scan)."""
     import math
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
+        sub_mult = mult
+        if name == "scan":
+            sub_mult = mult * int(eqn.params.get("length", 1))
         if name not in _WRAPPERS and name in _CLASS:
             # vector ops only: scalar math rides the scalar core, overlapped
             shp = getattr(eqn.outvars[0].aval, "shape", ())
             if shp and math.prod(shp) > 1:
-                counts[_CLASS[name]] += 1
+                counts[_CLASS[name]] += mult
         for v in eqn.params.values():
             for sub in (v if isinstance(v, (list, tuple)) else (v,)):
                 if hasattr(sub, "eqns"):
-                    _walk(sub, counts)
+                    _walk(sub, counts, sub_mult)
                 elif hasattr(sub, "jaxpr"):
-                    _walk(sub.jaxpr, counts)
+                    _walk(sub.jaxpr, counts, sub_mult)
 
 
 def _find_pallas(jaxpr, out):
@@ -84,6 +91,10 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--rounds", type=int, default=8,
                     help="fused-kernel measurement rounds (min taken)")
+    ap.add_argument("--soft", action="store_true",
+                    help="also bound the SOFT kernels at the 100-sphere "
+                         "128^2 fit config (mix counts weighted by rolled-"
+                         "fold trip counts; slot table from the main run)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -252,8 +263,55 @@ def main() -> int:
           f"| mix unfused {sol_unfused*1e3:.3f} ({sol_unfused/t_fused:.1%})",
           file=sys.stderr)
 
+    soft_out = {}
+    if args.soft:
+        # Mix bounds for the soft forward + fused-step kernels at the
+        # 100-sphere 128^2 fit config, priced with THIS run's slot table
+        # scaled per element. Measured-on-chip companions: fwd 11.5 ms,
+        # fused step 31.6-32.9 ms (ONCHIP_r05).
+        from python_ray_tracer_tpu.ops.pallas.soft_pallas import \
+            render_image_soft_pallas
+        from python_ray_tracer_tpu.ops.pallas.soft_bwd import \
+            soft_loss_and_grads_pallas
+        sscene = rt.random_scene(jax.random.PRNGKey(0), n_spheres=100)
+        scam = rt.default_camera((128, 128))
+        stgt = jnp.zeros((128, 128, 3), jnp.float32)
+        per_elem = {k: v / (n_tiles * elems) for k, v in dict(
+            fma=s_fma * 1e9, select=t_select * 1e9, cmp=t_cmp * 1e9,
+            sqrt=t_sqrt * 1e9, rsqrt=t_rsqrt * 1e9, div=t_div * 1e9).items()}
+
+        def soft_bound(fn, *fargs):
+            jx2 = jax.make_jaxpr(fn)(*fargs)
+            c2 = []
+            _find_pallas(jx2.jaxpr, c2)
+            m = Counter()
+            _walk(c2[-1].params["jaxpr"], m)
+            n_elems = 4 * 40 * 128   # 128^2 swap-resolved grid incl. pad
+            alu2 = m.get("mul", 0) + m.get("add", 0) + m.get("alu", 0)
+            fused2 = alu2 - min(m.get("mul", 0), m.get("add", 0))
+
+            def b(a):
+                return (a * per_elem["fma"] + m.get("select", 0) *
+                        per_elem["select"] + m.get("cmp", 0) * per_elem["cmp"]
+                        + m.get("sqrt", 0) * per_elem["sqrt"]
+                        + m.get("rsqrt", 0) * per_elem["rsqrt"]
+                        + (m.get("div", 0) + m.get("exp", 0)) *
+                        per_elem["div"]) * n_elems * 1e-6
+            return [round(b(fused2), 2), round(b(alu2), 2)]
+
+        soft_out["soft_fwd_mix_bound_ms"] = soft_bound(
+            lambda s: render_image_soft_pallas(scam, s, tau=0.05), sscene)
+        soft_out["soft_step_mix_bound_ms"] = soft_bound(
+            lambda s: soft_loss_and_grads_pallas(scam, s, stgt, tau=0.05),
+            sscene)
+        print(f"soft kernels @100sph/128^2: fwd bound "
+              f"{soft_out['soft_fwd_mix_bound_ms']} ms (measured 11.5), "
+              f"step bound {soft_out['soft_step_mix_bound_ms']} ms "
+              f"(measured 31.6-32.9)", file=sys.stderr)
+
     print(json.dumps(dict(
         metric="vpu_sol",
+        **soft_out,
         mix_per_tile={k: int(v) for k, v in sorted(mix.items())},
         n_tiles=n_tiles,
         slot_ns_per_frame_step=dict(
