@@ -49,11 +49,30 @@ from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
                             _fold_objects, _pack_params, _rnorm, _resolve_swap)
 from .render_bwd import grad_layout, unflatten_grads, _norm_adj
 
-_vsum = jnp.sum
+import os as _os
+# Diagnosis hook (WRONG GRADIENTS — measurement only): replaces the per-slot
+# full-tile reductions with a single-lane extract, keeping every adjoint
+# chain live. Isolates the reduction share of the fused soft step's runtime.
+if _os.environ.get("RT_SOFT_NO_REDUCE") == "1":
+    def _vsum(vec):
+        return vec[0, 0]
+else:
+    _vsum = jnp.sum
+
+# Slab accumulation for the fold2 occluder adjoints (rolled scenes): instead
+# of 4 full-tile reductions + SMEM scalar RMWs per (object, occluder) pair —
+# measured at 73% of the fused step's runtime (ONCHIP_r05 single-lane-extract
+# A/B: 32.3 -> 8.8 ms) — accumulate each occluder's (center, radius) partials
+# as (4, TW, TH) tiles in a VMEM slab indexed by occluder and reduce each
+# slot ONCE per grid step at flush time. OPT-IN (RT_SOFT_SLAB_ACC=1) until
+# validated on real Mosaic: interpret parity passes, but the dynamic-indexed
+# VMEM RMW inside the rolled folds has not compiled on chip yet (the tunnel
+# went down mid-measurement).
+_SLAB_ACC = _os.environ.get("RT_SOFT_SLAB_ACC", "0") == "1"
 
 
 def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
-                          fused_loss):
+                          fused_loss, slab_acc=False):
     shape = (TW, TH)
     slots, n_grads = grad_layout(ns, npl, nl)
     if fused_loss:
@@ -68,7 +87,8 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
     k_rot = slots[("rot", 0, 0)]
     k_fov = slots["fov"]
 
-    def kernel(params, sph, pln, lts, extra, g_ref, out_ref):
+    def kernel(params, sph, pln, lts, extra, g_ref, out_ref, *scratch):
+        gslab_ref = scratch[0] if slab_acc else None
         tau = extra[0]
         amb = params[_P_AMB]
         lamb = params[_P_LAMB]
@@ -85,6 +105,13 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
                     out_ref[k] = jnp.float32(0.0)
                     return 0
                 jax.lax.fori_loop(0, n_grads, zbody, 0)
+
+        if slab_acc:
+            # scratch persists across grid steps: zero this tile's slab
+            def _zslab(j, _):
+                gslab_ref[j] = jnp.zeros((4, TW, TH), jnp.float32)
+                return 0
+            jax.lax.fori_loop(0, ns, _zslab, 0)
 
         fu = (i_pid * TW).astype(jnp.float32)
         fv = (j_pid * TH).astype(jnp.float32)
@@ -275,10 +302,14 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
                     Lb[3 * l + 0] += dS[0]
                     Lb[3 * l + 1] += dS[1]
                     Lb[3 * l + 2] += dS[2]
-                acc_sph(j, 0, cbx)
-                acc_sph(j, 1, cby)
-                acc_sph(j, 2, cbz)
-                acc_sph(j, 3, rb)
+                if slab_acc:
+                    gslab_ref[j] = gslab_ref[j] + jnp.stack(
+                        [cbx, cby, cbz, rb])
+                else:
+                    acc_sph(j, 0, cbx)
+                    acc_sph(j, 1, cby)
+                    acc_sph(j, 2, cbz)
+                    acc_sph(j, 3, rb)
                 return (dbx, dby, dbz, obx, oby, obz, Pbx, Pby, Pbz, *Lb)
             return _fold_objects(ns, body, init)
 
@@ -501,6 +532,16 @@ def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
         dbx, dby, dbz, obx, oby, obz = _fold_objects(
             npl, plane_iter, (dbx, dby, dbz, obx, oby, obz))
 
+        if slab_acc:
+            # flush: one reduction per (occluder, slot) per grid step instead
+            # of one per (object, occluder) pair
+            def _flush(j, _):
+                blk = gslab_ref[j]
+                for c in range(4):
+                    out_ref[j * 7 + c] += jnp.sum(blk[c])
+                return 0
+            jax.lax.fori_loop(0, ns, _flush, 0)
+
         # --- camera adjoints: d = normalize(R @ p), o = position --------------
         out_ref[k_cam + 0] += _vsum(obx)
         out_ref[k_cam + 1] += _vsum(oby)
@@ -550,10 +591,12 @@ def _soft_grads_pallas(camera, scene, g_or_target, tau, *, tile_w: int = 40,
     V = W_out if swap_xy else H
     TW = min(tile_w, U)
     TH = tile_h
+    slab_acc = _SLAB_ACC and ns > _UNROLL_LIMIT
     kernel, n_grads = _make_soft_bwd_kernel(W=W, H=H, U=U, V=V, TW=TW, TH=TH,
                                             ns=ns, npl=npl, nl=nl,
                                             swap_xy=swap_xy,
-                                            fused_loss=fused_loss)
+                                            fused_loss=fused_loss,
+                                            slab_acc=slab_acc)
     g_chw = jnp.moveaxis(g_or_target.astype(jnp.float32), -1, 0)
     if swap_xy:
         g_chw = jnp.transpose(g_chw, (0, 2, 1))
@@ -565,6 +608,8 @@ def _soft_grads_pallas(camera, scene, g_or_target, tau, *, tile_w: int = 40,
                                               lambda i, j: (0, i, j))],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n_grads,), jnp.float32),
+        scratch_shapes=([pltpu.VMEM((ns, 4, TW, TH), jnp.float32)]
+                        if slab_acc else []),
         interpret=interpret,
     )(params, sph, pln, lts, extra, g_chw)
     return unflatten_grads(flat, ns, npl, nl, camera,
