@@ -314,3 +314,38 @@ def test_soft_fit_sharded_converges():
     err1 = float(jnp.abs(fitted.spheres.center
                          - target_scene.spheres.center).max())
     assert err1 < 0.6 * err0, (err0, err1)
+
+
+@pytest.mark.slow  # ~3 random draws x ~40 s interpret traces
+def test_soft_bwd_fuzz_parity():
+    """Randomized scenes (geometry, materials, light counts): kernel grads ==
+    jnp autodiff — the soft analogue of the hard path's fuzz net."""
+    for seed in (21, 22, 23):
+        key = jax.random.PRNGKey(seed)
+        ks = jax.random.split(key, 8)
+        ns = int(jax.random.randint(ks[0], (), 2, 6))
+        nl = int(jax.random.randint(ks[1], (), 1, 4))
+        centers = jax.random.uniform(ks[2], (ns, 3), minval=-2.0, maxval=2.0) \
+            + jnp.asarray([4.0, 0.0, 1.0])
+        radii = jax.random.uniform(ks[3], (ns,), minval=0.3, maxval=1.0)
+        albedo = jax.random.uniform(ks[4], (ns, 3), minval=0.1, maxval=1.0)
+        lpos = jax.random.uniform(ks[5], (nl, 3), minval=-4.0, maxval=4.0) \
+            + jnp.asarray([0.0, 0.0, 6.0])
+        scene = rt.Scene(
+            rt.Spheres(centers.astype(jnp.float32), radii.astype(jnp.float32),
+                       albedo.astype(jnp.float32)),
+            rt.Planes.build([([0.0, 0.0, -1.0], [0.0, 0.05, 1.0], rt.GREY)]),
+            rt.Lights(lpos.astype(jnp.float32)),
+            rt.Materials.build(
+                ambient=float(jax.random.uniform(ks[6], (), minval=0.0,
+                                                 maxval=0.4)),
+                lambert=float(jax.random.uniform(ks[7], (), minval=0.3,
+                                                 maxval=0.9))))
+        cam = rt.default_camera((16, 16))
+        g = jax.random.normal(jax.random.PRNGKey(seed + 100), (16, 16, 3),
+                              jnp.float32)
+        _, vjp = jax.vjp(lambda c, s: render_image_soft(c, s, tau=TAU), cam,
+                         scene)
+        _, scn_j = vjp(g)
+        scn_k = soft_scene_grads_pallas(cam, scene, g, tau=TAU, interpret=True)
+        _assert_scene_grads_close(scn_k, scn_j)
