@@ -1758,6 +1758,30 @@ def _resolve_swap(w_out: int, h: int) -> bool:
     return waste(w_out) < waste(h)
 
 
+def _fit_tile_w(U: int, tile_w: int) -> int:
+    """Shrink the sublane tile width when grid padding is gross: ``cdiv(U,
+    TW)`` tiles sweep ``cdiv * TW`` columns, so TW=40 at U=128 pays for 160
+    (25% waste). Per-tile overheads favor FAT tiles (soft step measured
+    ~0.199 ms/col at TW=40 vs ~0.212 at TW=32 — a ~(1 + 14/TW) per-column
+    model), so only shrink when the padding waste exceeds 10%, to the
+    LARGEST multiple-of-8 TW' <= tile_w that minimizes padded columns.
+    Reproduces both on-chip optima (ONCHIP_r05 soft_slab_accumulation:
+    128^2 wants TW=32, 31.8 -> 27.1 ms direct; 512^2 keeps TW=40, its
+    1.5%-pad fat tiles beat the exact-fit TW=32)."""
+    tw = min(tile_w, U)
+    padded = -(-U // tw) * tw
+    if (padded - U) * 10 <= U:
+        return tw
+    best, best_padded = tw, padded
+    cand = tw - tw % 8
+    while cand >= 8:
+        p = -(-U // cand) * cand
+        if p < best_padded:
+            best, best_padded = cand, p
+        cand -= 8
+    return best
+
+
 def _auto_tiles(camera, scene, *, aliasing, aa_share, tile_w, tile_h,
                 local_width):
     """Resolve ``None`` tile sizes to the measured-best v5e defaults.

@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
+from .render_pallas import (_fit_tile_w,
+                            _P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
                             _P_DZ, _P_AMB, _P_LAMB, _P_X0, _UNROLL_LIMIT,
                             _fold_objects, _pack_params, _rnorm, _resolve_swap)
 from .render_bwd import grad_layout, unflatten_grads, _norm_adj
@@ -64,11 +65,13 @@ else:
 # measured at 73% of the fused step's runtime (ONCHIP_r05 single-lane-extract
 # A/B: 32.3 -> 8.8 ms) — accumulate each occluder's (center, radius) partials
 # as (4, TW, TH) tiles in a VMEM slab indexed by occluder and reduce each
-# slot ONCE per grid step at flush time. OPT-IN (RT_SOFT_SLAB_ACC=1) until
-# validated on real Mosaic: interpret parity passes, but the dynamic-indexed
-# VMEM RMW inside the rolled folds has not compiled on chip yet (the tunnel
-# went down mid-measurement).
-_SLAB_ACC = _os.environ.get("RT_SOFT_SLAB_ACC", "0") == "1"
+# slot ONCE per grid step at flush time. DEFAULT ON since the on-chip A/B
+# (benchmarks/soft_slab_ab.py, ONCHIP_r05): 31.8 -> 25.2 ms at 100
+# spheres/128^2, grad parity 2.3e-6 rel. The win is 1.26x, not the stub
+# floor's 3.7x — the per-pair (4, TW, TH) slab read-modify-write traffic
+# replaces most of what the reductions cost (and the slab forces TW 40->32
+# to fit scoped VMEM). RT_SOFT_SLAB_ACC=0 restores the direct reductions.
+_SLAB_ACC = _os.environ.get("RT_SOFT_SLAB_ACC", "1") == "1"
 
 
 def _make_soft_bwd_kernel(*, W, H, U, V, TW, TH, ns, npl, nl, swap_xy,
@@ -589,9 +592,21 @@ def _soft_grads_pallas(camera, scene, g_or_target, tau, *, tile_w: int = 40,
     swap_xy = _resolve_swap(W_out, H)
     U = H if swap_xy else W_out
     V = W_out if swap_xy else H
-    TW = min(tile_w, U)
+    TW = _fit_tile_w(U, tile_w)
     TH = tile_h
     slab_acc = _SLAB_ACC and ns > _UNROLL_LIMIT
+    if slab_acc:
+        # The (ns, 4, TW, TH) f32 slab plus the kernel's working set must fit
+        # the ~16 MB scoped-VMEM ceiling (TW=40/ns=100 measured 104 KB over).
+        # Budget the slab at ~6.8 MB and shrink the tile width to fit —
+        # sublane granularity is 8; below TW=8 the slab can't pay for itself,
+        # so fall back to the direct per-pair reductions.
+        tw_fit = 6_800_000 // (ns * 4 * TH * 4)
+        tw_fit -= tw_fit % 8
+        if tw_fit >= 8:
+            TW = min(TW, tw_fit)
+        else:
+            slab_acc = False
     kernel, n_grads = _make_soft_bwd_kernel(W=W, H=H, U=U, V=V, TW=TW, TH=TH,
                                             ns=ns, npl=npl, nl=nl,
                                             swap_xy=swap_xy,

@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .render_pallas import (_P_ORIGIN, _P_ROT, _P_FOCAL, _P_Y0, _P_DY, _P_Z0,
                             _P_DZ, _P_AMB, _P_LAMB, _UNROLL_LIMIT,
-                            _fold_objects, _pack_params, _rnorm, _resolve_swap)
+                            _fit_tile_w, _fold_objects, _pack_params, _rnorm,
+                            _resolve_swap)
 
 _SOFT_UNROLL_LIMIT = 24   # below: objects fully unrolled in registers;
                           # above: rolled folds with coverage recompute
@@ -288,7 +289,7 @@ def render_image_soft_pallas(camera, scene, *, tau=0.05, tile_w: int = 40,
     swap_xy = _resolve_swap(W, H)
     U = H if swap_xy else W
     V = W if swap_xy else H
-    TW = min(tile_w, U)
+    TW = _fit_tile_w(U, tile_w)
     TH = tile_h
     kernel = _make_soft_kernel(W=W, H=H, TW=TW, TH=TH, ns=ns, npl=npl, nl=nl,
                                swap_xy=swap_xy, rolled=rolled)

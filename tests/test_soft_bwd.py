@@ -349,3 +349,31 @@ def test_soft_bwd_fuzz_parity():
         _, scn_j = vjp(g)
         scn_k = soft_scene_grads_pallas(cam, scene, g, tau=TAU, interpret=True)
         _assert_scene_grads_close(scn_k, scn_j)
+
+
+@pytest.mark.slow  # two rolled interpret traces (~40 s each) at ns=18
+def test_soft_bwd_slab_accumulation_matches_direct():
+    """RT_SOFT_SLAB_ACC=1: per-occluder VMEM slab accumulation (one flush
+    reduction per slot per grid step) must be a pure reassociation of the
+    direct per-(object, occluder) SMEM accumulation — same grads to f32
+    reassociation tolerance, and the slab tile fits the VMEM budget (the
+    tile-width shrink in _soft_grads_pallas)."""
+    import python_ray_tracer_tpu.ops.pallas.soft_bwd as sb
+    cam = rt.default_camera((16, 16))
+    scene = rt.random_scene(jax.random.PRNGKey(5), n_spheres=18)
+    g = jax.random.normal(jax.random.PRNGKey(2), (16, 16, 3), jnp.float32)
+    # the flag is read at trace time and the jit cache ignores module
+    # globals — clear around each flip (verify-skill rule: never flip such
+    # a flag within one process without invalidating the cache)
+    old = sb._SLAB_ACC
+    results = {}
+    try:
+        for flag in (False, True):
+            sb._soft_grads_pallas.clear_cache()
+            sb._SLAB_ACC = flag
+            results[flag] = soft_scene_grads_pallas(cam, scene, g, tau=TAU,
+                                                    interpret=True)
+    finally:
+        sb._SLAB_ACC = old
+        sb._soft_grads_pallas.clear_cache()
+    _assert_scene_grads_close(results[True], results[False])
